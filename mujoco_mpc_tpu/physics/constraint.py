@@ -1,0 +1,174 @@
+"""Soft-constraint rows and the primal Newton solver.
+
+TPU-native equivalent of MuJoCo's constraint pipeline (mj_makeConstraint +
+the Newton solver) that the reference relies on for joint limits and
+contacts inside mj_step (/root/reference/mjpc/trajectory.cc:158).
+
+Design: constraint rows are FIXED-SIZE arrays sized by the static model
+structure (2 rows per limited scalar joint + rows per collision pair), with
+an activity mask — no dynamic shapes, so the whole solve vmaps over
+thousands of candidate rollouts. The solver minimizes MuJoCo's primal cost
+
+    0.5 (qacc - qacc_smooth)' M (qacc - qacc_smooth) + 0.5 sum_i D_i jar_i^2
+
+where jar_i = J_i qacc - aref_i and inequality rows only contribute when
+jar_i < 0 (equivalently f_i = -D_i jar_i >= 0). The cost is piecewise
+quadratic and strictly convex; a handful of damped Newton steps with dense
+Cholesky solves reaches machine precision for the row counts planner models
+have. Constants (K, B, impedance, D = imp/(1-imp)/invweight0) were validated
+numerically against mj_forward.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics.model import Data, JointType, Model
+
+_MIN_IMP, _MAX_IMP = 0.0001, 0.9999
+
+
+class Rows(NamedTuple):
+  """A block of constraint rows (fixed size)."""
+  j: jax.Array       # (n, nv) Jacobian
+  pos: jax.Array     # (n,) constraint violation (negative = violated)
+  margin: jax.Array  # (n,)
+  aref: jax.Array    # (n,) reference acceleration
+  d: jax.Array       # (n,) penalty weight D
+  active: jax.Array  # (n,) bool
+
+
+def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+  """MuJoCo constraint impedance d(pos) in (0,1)."""
+  d0, dw, width, mid, power = (solimp[..., 0], solimp[..., 1],
+                               solimp[..., 2], solimp[..., 3], solimp[..., 4])
+  x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+  mid = jnp.clip(mid, 1e-6, 1 - 1e-6)
+  power = jnp.maximum(power, 1.0)
+  y_lo = (x / mid) ** power * mid
+  y_hi = 1.0 - ((1.0 - x) / (1.0 - mid)) ** power * (1.0 - mid)
+  y = jnp.where(x <= mid, y_lo, y_hi)
+  return jnp.clip(d0 + y * (dw - d0), _MIN_IMP, _MAX_IMP)
+
+
+def kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array):
+  """Stiffness K, damping B, impedance I for a constraint row."""
+  imp = impedance(solimp, pos)
+  dmax = jnp.clip(jnp.maximum(solimp[..., 0], solimp[..., 1]),
+                  _MIN_IMP, _MAX_IMP)
+  timeconst, dampratio = solref[..., 0], solref[..., 1]
+  # standard (positive solref) reference
+  k_std = 1.0 / jnp.maximum(
+      dmax * dmax * timeconst * timeconst * dampratio * dampratio, 1e-12)
+  b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-12)
+  # direct form: solref = (-stiffness, -damping)
+  k_dir = -solref[..., 0] / jnp.maximum(dmax * dmax, 1e-12)
+  b_dir = -solref[..., 1] / jnp.maximum(dmax, 1e-12)
+  direct = jnp.logical_and(solref[..., 0] <= 0, solref[..., 1] <= 0)
+  return (jnp.where(direct, k_dir, k_std),
+          jnp.where(direct, b_dir, b_std), imp)
+
+
+def _limit_rows(m: Model, d: Data) -> Rows | None:
+  """Joint-limit rows: 2 per limited scalar joint (lower, upper)."""
+  limited = [j for j in range(m.njnt)
+             if m.jnt_limited[j]
+             and m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
+  if not limited:
+    return None
+  nv = m.nv
+  dtype = d.qpos.dtype
+
+  js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
+  for j in limited:
+    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    vel = d.qvel[dofadr]
+    for side in (0, 1):
+      if side == 0:
+        pos = d.qpos[qadr] - m.jnt_range[j, 0]
+        jac = jnp.zeros(nv, dtype=dtype).at[dofadr].set(1.0)
+        v = vel
+      else:
+        pos = m.jnt_range[j, 1] - d.qpos[qadr]
+        jac = jnp.zeros(nv, dtype=dtype).at[dofadr].set(-1.0)
+        v = -vel
+      pos = pos - m.jnt_margin[j]
+      k, b, imp = kbi(m.jnt_solref[j], m.jnt_solimp[j], pos)
+      aref = -b * v - k * imp * pos
+      dd = imp / (1.0 - imp) / jnp.maximum(m.dof_invweight0[dofadr], 1e-12)
+      js.append(jac)
+      poss.append(pos)
+      margins.append(m.jnt_margin[j])
+      arefs.append(aref)
+      ds.append(dd)
+      actives.append(pos < 0.0)
+  return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
+              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives))
+
+
+def _concat_rows(blocks) -> Rows | None:
+  blocks = [b for b in blocks if b is not None]
+  if not blocks:
+    return None
+  return Rows(*(jnp.concatenate(parts) for parts in zip(*blocks)))
+
+
+def make_rows(m: Model, d: Data, contact_rows: Rows | None = None):
+  """Assemble all constraint rows (limits now; contacts passed in)."""
+  return _concat_rows([_limit_rows(m, d), contact_rows])
+
+
+def solve(m: Model, d: Data, rows: Rows | None,
+          iterations: int = 12) -> Data:
+  """Primal Newton solve for qacc given constraint rows."""
+  qacc_smooth = d.qacc
+  if rows is None:
+    return d.replace(
+        qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype))
+
+  qm = d.qM
+  j_mat = rows.j                       # (n, nv)
+  dvec = jnp.where(rows.active, rows.d, 0.0)
+
+  def force(qacc):
+    jar = j_mat @ qacc - rows.aref
+    # one-sided: force only when jar < 0
+    return jnp.where(jar < 0, -dvec * jar, 0.0)
+
+  def grad(qacc):
+    return qm @ (qacc - qacc_smooth) - j_mat.T @ force(qacc)
+
+  def hess(qacc):
+    jar = j_mat @ qacc - rows.aref
+    w = jnp.where(jar < 0, dvec, 0.0)
+    return qm + (j_mat.T * w) @ j_mat
+
+  def body(_, qacc):
+    g = grad(qacc)
+    h = hess(qacc)
+    # small diagonal regularization guards rank deficiency
+    h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
+    step = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
+
+    # exact-ish line search over the piecewise quadratic: backtracking
+    def cost(qa):
+      jar = j_mat @ qa - rows.aref
+      pen = jnp.where(jar < 0, dvec, 0.0)
+      dq = qa - qacc_smooth
+      return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
+
+    c0 = cost(qacc)
+    alphas = jnp.array([1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
+    cands = qacc[None, :] - alphas[:, None] * step[None, :]
+    costs = jax.vmap(cost)(cands)
+    best = jnp.argmin(costs)
+    return jnp.where(costs[best] < c0, cands[best], qacc)
+
+  qacc = jax.lax.fori_loop(0, iterations, body, qacc_smooth)
+  f = force(qacc)
+  qfrc_constraint = j_mat.T @ f
+  return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

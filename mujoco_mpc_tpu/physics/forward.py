@@ -1,0 +1,173 @@
+"""Forward dynamics pipeline and integrators.
+
+The TPU-native analog of MuJoCo's mj_forward / mj_step as used by the
+reference rollout engine (/root/reference/mjpc/trajectory.cc:141-180). The
+whole pipeline is pure (Model, Data) -> Data, jit/vmap-able, with static
+shapes, so `vmap(lax.scan(step))` replaces the reference's
+ThreadPool-of-mjData rollout fan-out.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import constraint
+from mujoco_mpc_tpu.physics import fluid as fluid_mod
+from mujoco_mpc_tpu.physics import kinematics as kin
+from mujoco_mpc_tpu.physics import smooth
+from mujoco_mpc_tpu.physics.model import Data, IntegratorType, JointType, Model
+from mujoco_mpc_tpu.utils import tpu_math as tm
+
+
+def _solve_m(qm: jax.Array, rhs: jax.Array) -> jax.Array:
+  """Solve M x = rhs with dense Cholesky (M is SPD, nv x nv, small)."""
+  chol = jax.scipy.linalg.cho_factor(qm)
+  return jax.scipy.linalg.cho_solve(chol, rhs)
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  d = kin.kinematics(m, d)
+  d = kin.com_pos(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+  d = kin.com_vel(m, d)
+  d = smooth.rne(m, d)
+  d = smooth.passive(m, d)
+  d = fluid_mod.fluid(m, d)
+  return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+  return smooth.actuation(m, d)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+                 + d.qfrc_applied + smooth.xfrc_accumulate(m, d))
+  qfrc = qfrc_smooth + d.qfrc_constraint
+  qacc = _solve_m(d.qM, qfrc)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc=qacc)
+
+
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics: positions -> velocities -> forces -> qacc."""
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = fwd_actuation(m, d)
+  d = smooth.crb(m, d)
+  d = d.replace(qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype))
+  d = fwd_acceleration(m, d)  # qacc_smooth
+  rows = constraint.make_rows(m, d)
+  d = constraint.solve(m, d, rows)
+  return d
+
+
+def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                  dt) -> jax.Array:
+  """qpos <- qpos ⊕ qvel * dt on the configuration manifold."""
+  out = qpos
+  for j in range(m.njnt):
+    jtype = m.jnt_type[j]
+    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    if jtype == JointType.FREE:
+      out = out.at[qadr:qadr + 3].add(qvel[dofadr:dofadr + 3] * dt)
+      quat = tm.quat_integrate(
+          jax.lax.dynamic_slice(qpos, (qadr + 3,), (4,)),
+          qvel[dofadr + 3:dofadr + 6], dt)
+      out = jax.lax.dynamic_update_slice(out, quat, (qadr + 3,))
+    elif jtype == JointType.BALL:
+      quat = tm.quat_integrate(
+          jax.lax.dynamic_slice(qpos, (qadr,), (4,)),
+          qvel[dofadr:dofadr + 3], dt)
+      out = jax.lax.dynamic_update_slice(out, quat, (qadr,))
+    else:
+      out = out.at[qadr].add(qvel[dofadr] * dt)
+  return out
+
+
+def _euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit joint damping (analog: mj_Euler)."""
+  h = m.opt.timestep
+  # implicit damping: (M + h diag(B)) qacc = qfrc_total
+  # (qfrc_smooth already contains the explicit -B qvel damping term)
+  qm_h = d.qM + h * jnp.diag(m.dof_damping)
+  qacc = _solve_m(qm_h, d.qfrc_smooth + d.qfrc_constraint)
+  qvel = d.qvel + h * qacc
+  qpos = integrate_pos(m, d.qpos, qvel, h)
+  act = d.act + h * d.act_dot if m.na else d.act
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def _rk4(m: Model, d: Data) -> Data:
+  """Explicit Runge-Kutta 4 (analog: mj_RungeKutta with default tableau)."""
+  h = m.opt.timestep
+  coefs = (0.5, 0.5, 1.0)
+  weights = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+
+  d0 = d
+  qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+
+  kq = [d.qacc]
+  kv = [d.qvel]
+  ka = [d.act_dot]
+  for c in coefs:
+    di = d0.replace(
+        qpos=integrate_pos(m, qpos0, kv[-1], c * h),
+        qvel=qvel0 + c * h * kq[-1],
+        act=act0 + c * h * ka[-1] if m.na else act0)
+    di = forward(m, di)
+    kq.append(di.qacc)
+    kv.append(di.qvel)
+    ka.append(di.act_dot)
+
+  qvel_avg = sum(w * v for w, v in zip(weights, kv))
+  qacc_avg = sum(w * a for w, a in zip(weights, kq))
+  act_avg = sum(w * a for w, a in zip(weights, ka))
+  qpos = integrate_pos(m, qpos0, qvel_avg, h)
+  qvel = qvel0 + h * qacc_avg
+  act = act0 + h * act_avg if m.na else act0
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def _implicit(m: Model, d: Data) -> Data:
+  """Implicit-in-velocity integration (analog: mj_implicit / implicitfast).
+
+  Solves (M - h * dF/dqvel) * qvel_dot = qfrc_total where dF/dqvel is the
+  analytic derivative of passive + actuation + fluid forces w.r.t. qvel,
+  computed here with one jacfwd over the velocity-dependent force pipeline —
+  exactly the derivative MuJoCo assembles by hand in mjd_smooth_vel.
+  """
+  h = m.opt.timestep
+
+  def qfrc_of_qvel(qvel):
+    di = d.replace(qvel=qvel)
+    di = kin.com_vel(m, di)
+    di = smooth.rne(m, di)
+    di = smooth.passive(m, di)
+    di = fluid_mod.fluid(m, di)
+    # velocity-dependent actuator force (affine gain/bias use velocity)
+    di = di.replace(actuator_velocity=di.actuator_moment @ qvel)
+    di = smooth.actuation(m, di)
+    return di.qfrc_passive - di.qfrc_bias + di.qfrc_actuator
+
+  deriv = jax.jacfwd(qfrc_of_qvel)(d.qvel)  # (nv, nv)
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  qacc = jnp.linalg.solve(d.qM - h * deriv, qfrc)
+  qvel = d.qvel + h * qacc
+  qpos = integrate_pos(m, d.qpos, qvel, h)
+  act = d.act + h * d.act_dot if m.na else d.act
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def step(m: Model, d: Data) -> Data:
+  """One simulation step: forward dynamics + integration (analog: mj_step)."""
+  d = forward(m, d)
+  if m.opt.integrator == IntegratorType.RK4:
+    return _rk4(m, d)
+  elif m.opt.integrator in (2, 3):  # implicit / implicitfast
+    return _implicit(m, d)
+  return _euler(m, d)

@@ -1,0 +1,454 @@
+"""Physics model / data pytrees and the MJCF model compiler.
+
+This is the TPU-native analog of the reference's physics layer (MuJoCo C,
+see /root/reference/mjpc/trajectory.cc mj_step usage). We do NOT port MuJoCo;
+we define our own pure-functional pipeline over these pytrees. The installed
+`mujoco` pip package is used ONLY as an MJCF *compiler* (XML -> sizes, masses,
+kinematic tree) on the host, and as a golden-test oracle in tests.
+
+Design notes (TPU-first):
+  * `Model` holds structural integers as static (hashable) tuples so jitted
+    functions specialize on the kinematic structure and XLA sees static
+    shapes and unrolled tree traversals.
+  * All float quantities are jnp array leaves, so task parameters, gravity,
+    timestep etc. can change without recompilation.
+  * `Data` is a flat pytree of arrays — `jax.vmap` over it gives batched
+    rollouts (the reference fans trajectories over a ThreadPool with one
+    mjData per thread; here a leading batch axis replaces the pool).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class JointType(enum.IntEnum):
+  FREE = 0
+  BALL = 1
+  SLIDE = 2
+  HINGE = 3
+
+
+class IntegratorType(enum.IntEnum):
+  EULER = 0          # semi-implicit Euler, implicit joint damping
+  RK4 = 1
+  IMPLICITFAST = 2   # reserved
+
+
+class GeomType(enum.IntEnum):
+  PLANE = 0
+  SPHERE = 2
+  CAPSULE = 3
+  ELLIPSOID = 4
+  CYLINDER = 5
+  BOX = 6
+  MESH = 7
+  OTHER = 100
+
+
+class TrnType(enum.IntEnum):
+  JOINT = 0
+  JOINTINPARENT = 1
+  SLIDERCRANK = 2
+  TENDON = 3
+  SITE = 4
+  BODY = 5
+
+
+class DynType(enum.IntEnum):
+  NONE = 0
+  INTEGRATOR = 1
+  FILTER = 2
+  FILTEREXACT = 3
+
+
+class GainType(enum.IntEnum):
+  FIXED = 0
+  AFFINE = 1
+
+
+class BiasType(enum.IntEnum):
+  NONE = 0
+  AFFINE = 1
+
+
+def _static(x):
+  return struct.field(pytree_node=False, default=x)
+
+
+@struct.dataclass
+class Option:
+  """Simulation options (array leaves so they are tunable without recompile)."""
+  timestep: jax.Array
+  gravity: jax.Array        # (3,)
+  wind: jax.Array           # (3,)
+  density: jax.Array
+  viscosity: jax.Array
+  integrator: int = _static(int(IntegratorType.EULER))
+
+
+@struct.dataclass
+class Model:
+  """Static physics model. Structure fields are hashable python tuples."""
+
+  # ---- sizes (static) ----
+  nq: int = _static(0)
+  nv: int = _static(0)
+  nu: int = _static(0)
+  na: int = _static(0)
+  nbody: int = _static(0)
+  njnt: int = _static(0)
+  ngeom: int = _static(0)
+  nsite: int = _static(0)
+  nmocap: int = _static(0)
+
+  # ---- tree structure (static tuples of ints) ----
+  body_parentid: Tuple[int, ...] = _static(())
+  body_rootid: Tuple[int, ...] = _static(())
+  body_jntadr: Tuple[int, ...] = _static(())
+  body_jntnum: Tuple[int, ...] = _static(())
+  body_dofadr: Tuple[int, ...] = _static(())
+  body_dofnum: Tuple[int, ...] = _static(())
+  body_mocapid: Tuple[int, ...] = _static(())
+  jnt_type: Tuple[int, ...] = _static(())
+  jnt_qposadr: Tuple[int, ...] = _static(())
+  jnt_dofadr: Tuple[int, ...] = _static(())
+  jnt_bodyid: Tuple[int, ...] = _static(())
+  jnt_limited: Tuple[int, ...] = _static(())
+  dof_bodyid: Tuple[int, ...] = _static(())
+  dof_jntid: Tuple[int, ...] = _static(())
+  dof_parentid: Tuple[int, ...] = _static(())
+  geom_type: Tuple[int, ...] = _static(())
+  geom_bodyid: Tuple[int, ...] = _static(())
+  site_bodyid: Tuple[int, ...] = _static(())
+  actuator_trntype: Tuple[int, ...] = _static(())
+  actuator_dyntype: Tuple[int, ...] = _static(())
+  actuator_gaintype: Tuple[int, ...] = _static(())
+  actuator_biastype: Tuple[int, ...] = _static(())
+  actuator_trnid: Tuple[int, ...] = _static(())     # joint/site id per act
+  actuator_actadr: Tuple[int, ...] = _static(())
+  actuator_actnum: Tuple[int, ...] = _static(())
+  actuator_ctrllimited: Tuple[int, ...] = _static(())
+  actuator_forcelimited: Tuple[int, ...] = _static(())
+  has_fluid: bool = _static(False)
+
+  # names for host-side lookup (static)
+  body_names: Tuple[str, ...] = _static(())
+  joint_names: Tuple[str, ...] = _static(())
+  geom_names: Tuple[str, ...] = _static(())
+  site_names: Tuple[str, ...] = _static(())
+  actuator_names: Tuple[str, ...] = _static(())
+  keyframe_names: Tuple[str, ...] = _static(())
+
+  # ---- numeric model (jnp leaves) ----
+  qpos0: jax.Array = None
+  qpos_spring: jax.Array = None
+  body_pos: jax.Array = None        # (nbody, 3)
+  body_quat: jax.Array = None       # (nbody, 4)
+  body_ipos: jax.Array = None       # (nbody, 3)
+  body_iquat: jax.Array = None      # (nbody, 4)
+  body_mass: jax.Array = None       # (nbody,)
+  body_subtreemass: jax.Array = None  # (nbody,)
+  body_inertia: jax.Array = None    # (nbody, 3)
+  jnt_pos: jax.Array = None         # (njnt, 3)
+  jnt_axis: jax.Array = None        # (njnt, 3)
+  jnt_stiffness: jax.Array = None   # (njnt,)
+  jnt_range: jax.Array = None       # (njnt, 2)
+  jnt_solref: jax.Array = None      # (njnt, 2)
+  jnt_solimp: jax.Array = None      # (njnt, 5)
+  jnt_margin: jax.Array = None      # (njnt,)
+  dof_damping: jax.Array = None     # (nv,)
+  dof_armature: jax.Array = None    # (nv,)
+  dof_invweight0: jax.Array = None  # (nv,)
+  geom_pos: jax.Array = None        # (ngeom, 3)
+  geom_quat: jax.Array = None       # (ngeom, 4)
+  geom_size: jax.Array = None       # (ngeom, 3)
+  geom_friction: jax.Array = None   # (ngeom, 3)
+  geom_solref: jax.Array = None     # (ngeom, 2)
+  geom_solimp: jax.Array = None     # (ngeom, 5)
+  geom_margin: jax.Array = None     # (ngeom,)
+  site_pos: jax.Array = None        # (nsite, 3)
+  site_quat: jax.Array = None       # (nsite, 4)
+  actuator_gear: jax.Array = None   # (nu, 6)
+  actuator_dynprm: jax.Array = None   # (nu, k)
+  actuator_gainprm: jax.Array = None  # (nu, k)
+  actuator_biasprm: jax.Array = None  # (nu, k)
+  actuator_ctrlrange: jax.Array = None  # (nu, 2)
+  actuator_forcerange: jax.Array = None  # (nu, 2)
+
+  # dense (nv, nv) mask: M[i, j] structurally nonzero (j ancestor-or-self of i)
+  dof_ancestor_mask: jax.Array = None
+
+  # keyframes
+  key_qpos: jax.Array = None        # (nkey, nq)
+  key_qvel: jax.Array = None        # (nkey, nv)
+
+  opt: Option = None
+
+  # ---- host-side lookups (static) ----
+  def name2id(self, names: Tuple[str, ...], name: str) -> int:
+    try:
+      return names.index(name)
+    except ValueError:
+      return -1
+
+  def body(self, name: str) -> int:
+    return self.name2id(self.body_names, name)
+
+  def joint(self, name: str) -> int:
+    return self.name2id(self.joint_names, name)
+
+  def site(self, name: str) -> int:
+    return self.name2id(self.site_names, name)
+
+  def geom(self, name: str) -> int:
+    return self.name2id(self.geom_names, name)
+
+  def keyframe_qpos(self, name: str) -> jax.Array:
+    return self.key_qpos[self.name2id(self.keyframe_names, name)]
+
+
+@struct.dataclass
+class Data:
+  """Per-step simulation state + computed quantities (all jnp leaves)."""
+  # state
+  time: jax.Array
+  qpos: jax.Array           # (nq,)
+  qvel: jax.Array           # (nv,)
+  act: jax.Array            # (na,)
+  ctrl: jax.Array           # (nu,)
+  qfrc_applied: jax.Array   # (nv,)
+  xfrc_applied: jax.Array   # (nbody, 6) [force(3), torque(3)] world frame
+  mocap_pos: jax.Array      # (nmocap, 3)
+  mocap_quat: jax.Array     # (nmocap, 4)
+  userdata: jax.Array       # (nuserdata,)
+
+  # computed by kinematics
+  xpos: jax.Array = None    # (nbody, 3)
+  xquat: jax.Array = None   # (nbody, 4)
+  xmat: jax.Array = None    # (nbody, 3, 3)
+  xipos: jax.Array = None   # (nbody, 3)
+  ximat: jax.Array = None   # (nbody, 3, 3)
+  xanchor: jax.Array = None  # (njnt, 3)
+  xaxis: jax.Array = None   # (njnt, 3)
+  geom_xpos: jax.Array = None  # (ngeom, 3)
+  geom_xmat: jax.Array = None  # (ngeom, 3, 3)
+  site_xpos: jax.Array = None  # (nsite, 3)
+  site_xmat: jax.Array = None  # (nsite, 3, 3)
+
+  # computed by com_pos
+  subtree_com: jax.Array = None  # (nbody, 3)
+  cinert: jax.Array = None  # (nbody, 10)
+  cdof: jax.Array = None    # (nv, 6)
+
+  # computed by com_vel
+  cvel: jax.Array = None    # (nbody, 6)
+  cdof_dot: jax.Array = None  # (nv, 6)
+
+  # dynamics quantities
+  qM: jax.Array = None          # (nv, nv) dense mass matrix
+  qfrc_bias: jax.Array = None   # (nv,)
+  qfrc_passive: jax.Array = None  # (nv,)
+  qfrc_constraint: jax.Array = None  # (nv,)
+  actuator_length: jax.Array = None    # (nu,)
+  actuator_velocity: jax.Array = None  # (nu,)
+  actuator_force: jax.Array = None     # (nu,)
+  actuator_moment: jax.Array = None    # (nu, nv)
+  qfrc_actuator: jax.Array = None  # (nv,)
+  qfrc_smooth: jax.Array = None    # (nv,)
+  qacc: jax.Array = None           # (nv,)
+  act_dot: jax.Array = None        # (na,)
+
+  # sensors (task-defined residual inputs live here)
+  sensordata: jax.Array = None
+
+
+# ---------------------------------------------------------------------------
+# Model compiler: mujoco.MjModel -> Model
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_GEOMS = {0: GeomType.PLANE, 2: GeomType.SPHERE, 3: GeomType.CAPSULE,
+                    4: GeomType.ELLIPSOID, 5: GeomType.CYLINDER,
+                    6: GeomType.BOX, 7: GeomType.MESH}
+
+
+def _names(mj, adr_array, count, objtype=None) -> Tuple[str, ...]:
+  import mujoco  # local import: host-only dependency
+  out = []
+  for i in range(count):
+    adr = adr_array[i]
+    end = mj.names.find(b'\x00', adr)
+    out.append(mj.names[adr:end].decode())
+  return tuple(out)
+
+
+def put_model(mj, dtype=jnp.float32) -> Model:
+  """Compile a mujoco.MjModel into our device Model pytree."""
+  t = lambda a: tuple(int(x) for x in np.asarray(a).reshape(-1))
+  f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+
+  nv = mj.nv
+  # dense ancestor mask from dof_parentid: mask[i, j] = j is ancestor-or-self
+  mask = np.zeros((nv, nv), dtype=bool)
+  for i in range(nv):
+    j = i
+    while j >= 0:
+      mask[i, j] = True
+      j = int(mj.dof_parentid[j])
+
+  geom_type = []
+  for g in range(mj.ngeom):
+    geom_type.append(int(_SUPPORTED_GEOMS.get(int(mj.geom_type[g]),
+                                              GeomType.OTHER)))
+
+  opt = Option(
+      timestep=f(mj.opt.timestep),
+      gravity=f(mj.opt.gravity),
+      wind=f(mj.opt.wind),
+      density=f(mj.opt.density),
+      viscosity=f(mj.opt.viscosity),
+      integrator=int(mj.opt.integrator),
+  )
+
+  return Model(
+      nq=mj.nq, nv=mj.nv, nu=mj.nu, na=mj.na, nbody=mj.nbody, njnt=mj.njnt,
+      ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap,
+      body_parentid=t(mj.body_parentid),
+      body_rootid=t(mj.body_rootid),
+      body_jntadr=t(mj.body_jntadr),
+      body_jntnum=t(mj.body_jntnum),
+      body_dofadr=t(mj.body_dofadr),
+      body_dofnum=t(mj.body_dofnum),
+      body_mocapid=t(mj.body_mocapid),
+      jnt_type=t(mj.jnt_type),
+      jnt_qposadr=t(mj.jnt_qposadr),
+      jnt_dofadr=t(mj.jnt_dofadr),
+      jnt_bodyid=t(mj.jnt_bodyid),
+      jnt_limited=t(mj.jnt_limited),
+      dof_bodyid=t(mj.dof_bodyid),
+      dof_jntid=t(mj.dof_jntid),
+      dof_parentid=t(mj.dof_parentid),
+      geom_type=tuple(geom_type),
+      geom_bodyid=t(mj.geom_bodyid),
+      site_bodyid=t(mj.site_bodyid),
+      actuator_trntype=t(mj.actuator_trntype),
+      actuator_dyntype=t(mj.actuator_dyntype),
+      actuator_gaintype=t(mj.actuator_gaintype),
+      actuator_biastype=t(mj.actuator_biastype),
+      actuator_trnid=t(mj.actuator_trnid[:, 0]) if mj.nu else (),
+      actuator_actadr=t(mj.actuator_actadr),
+      actuator_actnum=t(mj.actuator_actnum),
+      actuator_ctrllimited=t(mj.actuator_ctrllimited),
+      actuator_forcelimited=t(mj.actuator_forcelimited),
+      has_fluid=bool(mj.opt.density > 0 or mj.opt.viscosity > 0
+                     or np.any(mj.opt.wind)),
+      body_names=_names(mj, mj.name_bodyadr, mj.nbody),
+      joint_names=_names(mj, mj.name_jntadr, mj.njnt),
+      geom_names=_names(mj, mj.name_geomadr, mj.ngeom),
+      site_names=_names(mj, mj.name_siteadr, mj.nsite),
+      actuator_names=_names(mj, mj.name_actuatoradr, mj.nu),
+      keyframe_names=_names(mj, mj.name_keyadr, mj.nkey),
+      qpos0=f(mj.qpos0),
+      qpos_spring=f(mj.qpos_spring),
+      body_pos=f(mj.body_pos),
+      body_quat=f(mj.body_quat),
+      body_ipos=f(mj.body_ipos),
+      body_iquat=f(mj.body_iquat),
+      body_mass=f(mj.body_mass),
+      body_subtreemass=f(mj.body_subtreemass),
+      body_inertia=f(mj.body_inertia),
+      jnt_pos=f(mj.jnt_pos),
+      jnt_axis=f(mj.jnt_axis),
+      jnt_stiffness=f(mj.jnt_stiffness),
+      jnt_range=f(mj.jnt_range),
+      jnt_solref=f(mj.jnt_solref),
+      jnt_solimp=f(mj.jnt_solimp),
+      jnt_margin=f(mj.jnt_margin),
+      dof_damping=f(mj.dof_damping),
+      dof_armature=f(mj.dof_armature),
+      dof_invweight0=f(mj.dof_invweight0),
+      geom_pos=f(mj.geom_pos),
+      geom_quat=f(mj.geom_quat),
+      geom_size=f(mj.geom_size),
+      geom_friction=f(mj.geom_friction),
+      geom_solref=f(mj.geom_solref),
+      geom_solimp=f(mj.geom_solimp),
+      geom_margin=f(mj.geom_margin),
+      site_pos=f(mj.site_pos),
+      site_quat=f(mj.site_quat),
+      actuator_gear=f(mj.actuator_gear),
+      actuator_dynprm=f(mj.actuator_dynprm),
+      actuator_gainprm=f(mj.actuator_gainprm),
+      actuator_biasprm=f(mj.actuator_biasprm),
+      actuator_ctrlrange=f(mj.actuator_ctrlrange),
+      actuator_forcerange=f(mj.actuator_forcerange),
+      dof_ancestor_mask=jnp.asarray(mask),
+      key_qpos=f(mj.key_qpos) if mj.nkey else jnp.zeros((0, mj.nq), dtype),
+      key_qvel=f(mj.key_qvel) if mj.nkey else jnp.zeros((0, mj.nv), dtype),
+      opt=opt,
+  )
+
+
+def load_model(xml_path: str = None, xml_string: str = None,
+               dtype=jnp.float32) -> Tuple[Model, Any]:
+  """Load MJCF from path or string. Returns (Model, mujoco.MjModel)."""
+  import mujoco
+  if xml_string is not None:
+    mj = mujoco.MjModel.from_xml_string(xml_string)
+  else:
+    mj = mujoco.MjModel.from_xml_path(xml_path)
+  return put_model(mj, dtype=dtype), mj
+
+
+def make_data(m: Model, dtype=jnp.float32) -> Data:
+  """Fresh Data at qpos0 / zero velocity (analog of mj_makeData+mj_resetData)."""
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  nuserdata = 16
+  return Data(
+      time=jnp.asarray(0.0, dtype=dtype),
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      qvel=z(m.nv),
+      act=z(m.na),
+      ctrl=z(m.nu),
+      qfrc_applied=z(m.nv),
+      xfrc_applied=z(m.nbody, 6),
+      mocap_pos=z(m.nmocap, 3),
+      mocap_quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype),
+                          (m.nmocap, 1)),
+      userdata=z(nuserdata),
+      xpos=z(m.nbody, 3),
+      xquat=z(m.nbody, 4),
+      xmat=z(m.nbody, 3, 3),
+      xipos=z(m.nbody, 3),
+      ximat=z(m.nbody, 3, 3),
+      xanchor=z(m.njnt, 3),
+      xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=z(m.ngeom, 3, 3),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=z(m.nsite, 3, 3),
+      subtree_com=z(m.nbody, 3),
+      cinert=z(m.nbody, 10),
+      cdof=z(m.nv, 6),
+      cvel=z(m.nbody, 6),
+      cdof_dot=z(m.nv, 6),
+      qM=z(m.nv, m.nv),
+      qfrc_bias=z(m.nv),
+      qfrc_passive=z(m.nv),
+      qfrc_constraint=z(m.nv),
+      actuator_length=z(m.nu),
+      actuator_velocity=z(m.nu),
+      actuator_force=z(m.nu),
+      actuator_moment=z(m.nu, m.nv),
+      qfrc_actuator=z(m.nv),
+      qfrc_smooth=z(m.nv),
+      qacc=z(m.nv),
+      act_dot=z(m.na),
+      sensordata=z(0),
+  )
