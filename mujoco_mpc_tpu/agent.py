@@ -1,0 +1,226 @@
+"""Agent: plan/act orchestration over a task.
+
+TPU-native analog of the reference Agent (/root/reference/mjpc/agent.{h,cc})
+and its synchronous benchmark loop (mjpc/testspeed.cc:44-129). The reference
+couples a planner thread, physics thread and estimator thread through
+mutex-guarded snapshots; here the plan-act loop is a single jitted program:
+`lax.scan` over (plan iteration -> steps_per_plan sim steps), with the policy
+pytree double-buffered by value through the scan carry.
+
+A host-driven `Agent` class offers the same plan-iteration / action / step
+API surface as the reference for interactive and service use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.ops import spline
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics.model import Data, Model, make_data
+from mujoco_mpc_tpu.planners import rollout as rollout_mod
+from mujoco_mpc_tpu.planners import sampling
+from mujoco_mpc_tpu.tasks.base import TaskParams, TaskSpec
+
+# reference: trajectory.h:27
+MAX_TRAJECTORY_HORIZON = 512
+
+
+def horizon_steps(spec: TaskSpec) -> int:
+  """Planning horizon in steps (reference: agent.cc:279-280)."""
+  cfg = spec.config
+  horizon = float(cfg.get('agent_horizon', 1.0))
+  timestep = float(cfg.get('agent_timestep',
+                           float(spec.mj_model.opt.timestep)))
+  return min(int(horizon / timestep + 1), MAX_TRAJECTORY_HORIZON)
+
+
+def plan_model(spec: TaskSpec) -> Model:
+  """Planning model: task model with the agent_timestep."""
+  ts = spec.config.get('agent_timestep', None)
+  m = spec.model
+  if ts is None:
+    return m
+  return m.replace(opt=m.opt.replace(
+      timestep=jnp.asarray(ts, dtype=m.qpos0.dtype)))
+
+
+def sync_plan_state(plan_d: Data, sim_d: Data) -> Data:
+  """Snapshot the sim state into planning Data (reference: State::Set)."""
+  return plan_d.replace(
+      time=sim_d.time, qpos=sim_d.qpos, qvel=sim_d.qvel, act=sim_d.act,
+      ctrl=sim_d.ctrl, mocap_pos=sim_d.mocap_pos,
+      mocap_quat=sim_d.mocap_quat, userdata=sim_d.userdata)
+
+
+@struct.dataclass
+class MpcCarry:
+  sim: Data
+  policy: sampling.SamplingPolicy
+  params: TaskParams
+  key: jax.Array
+
+
+def make_mpc_step(spec: TaskSpec, num_samples: int, steps_per_plan: int,
+                  interp: int = spline.Interp.ZERO,
+                  planner_iterations: int = 1):
+  """Build the jittable plan-and-step body for synchronous MPC."""
+  t_steps = horizon_steps(spec)
+  pm_spec = spec  # planning uses the task model (timestep override below)
+  pmodel = plan_model(spec)
+  sim_model = spec.model
+
+  def plan_and_step(carry: MpcCarry, _) -> Tuple[MpcCarry, dict]:
+    sim, policy, params, key = (carry.sim, carry.policy, carry.params,
+                                carry.key)
+    key, k_plan, k_trans = jax.random.split(key, 3)
+
+    # task transition (pure; reference Task::Transition)
+    if spec.transition_fn is not None:
+      sim, params = spec.transition_fn(sim_model, sim, params, k_trans)
+
+    # plan from the current sim state
+    plan_d = sync_plan_state(make_data(pmodel, dtype=sim.qpos.dtype), sim)
+    plan_spec_model = pm_spec
+    cfg = sampling.default_config(spec, dtype=sim.qpos.dtype)
+
+    def one_iter(pol, k):
+      pol, info = sampling.optimize(
+          spec, pol, plan_d, params, cfg, k, num_samples, t_steps, interp)
+      return pol, info['best_return']
+
+    keys = jax.random.split(k_plan, planner_iterations)
+    policy, best_returns = jax.lax.scan(one_iter, policy, keys)
+
+    # act: step the sim steps_per_plan times under the (frozen) policy
+    def sim_step(d, _):
+      u = sampling.action_from_policy(spec, policy, d.time, interp)
+      d = d.replace(ctrl=u)
+      d = fwd.forward(sim_model, d)
+      res = spec.residual_fn(sim_model, d, params.residual_params)
+      cost = spec.cost(res, params)
+      d = fwd.integrate(sim_model, d)
+      return d, cost
+
+    sim, costs = jax.lax.scan(sim_step, sim, None, length=steps_per_plan)
+
+    out = {'costs': costs, 'best_return': best_returns[-1]}
+    return MpcCarry(sim=sim, policy=policy, params=params, key=key), out
+
+  return plan_and_step
+
+
+def synchronous_mpc(spec: TaskSpec, num_samples: int, total_steps: int,
+                    steps_per_plan: int, key: jax.Array,
+                    interp: int = spline.Interp.ZERO,
+                    num_spline_points: Optional[int] = None,
+                    sim0: Optional[Data] = None,
+                    params: Optional[TaskParams] = None,
+                    planner_iterations: int = 1):
+  """Jitted synchronous planning loop (reference: testspeed.cc:44-129).
+
+  Returns (final carry, per-step costs (total_steps,))."""
+  dtype = spec.model.qpos0.dtype
+  if num_spline_points is None:
+    num_spline_points = int(spec.config.get('sampling_spline_points', 10))
+  if sim0 is None:
+    sim0 = make_data(spec.model, dtype=dtype)
+  if params is None:
+    params = spec.default_params
+
+  policy = sampling.default_policy(spec, num_spline_points, dtype=dtype)
+  body = make_mpc_step(spec, num_samples, steps_per_plan, interp,
+                       planner_iterations)
+  carry = MpcCarry(sim=sim0, policy=policy, params=params, key=key)
+  nplans = total_steps // steps_per_plan
+  carry, out = jax.lax.scan(body, carry, None, length=nplans)
+  return carry, out['costs'].reshape(-1)
+
+
+class Agent:
+  """Host-driven agent mirroring the reference Agent API surface."""
+
+  def __init__(self, spec: TaskSpec, num_samples: int = 128,
+               interp: int = spline.Interp.ZERO,
+               num_spline_points: Optional[int] = None, seed: int = 0):
+    self.spec = spec
+    self.num_samples = num_samples
+    self.interp = int(interp)
+    dtype = spec.model.qpos0.dtype
+    p = num_spline_points or int(spec.config.get('sampling_spline_points',
+                                                 10))
+    self.policy = sampling.default_policy(spec, p, dtype=dtype)
+    self.params = spec.default_params
+    self.cfg = sampling.default_config(spec, dtype=dtype)
+    self.horizon_steps = horizon_steps(spec)
+    self.plan_data = make_data(plan_model(spec), dtype=dtype)
+    self.sim_data = make_data(spec.model, dtype=dtype)
+    self.key = jax.random.key(seed)
+
+    self._optimize = jax.jit(functools.partial(
+        sampling.optimize, spec, num_samples=self.num_samples,
+        horizon_steps=self.horizon_steps, interp=self.interp))
+    self._action = jax.jit(functools.partial(
+        sampling.action_from_policy, spec, interp=self.interp))
+    self._step = jax.jit(functools.partial(fwd.step, spec.model))
+
+  # -- reference Agent::SetState -------------------------------------------
+  def set_state(self, qpos=None, qvel=None, time=None, act=None,
+                mocap_pos=None, ctrl=None):
+    d = self.sim_data
+    updates = {}
+    if qpos is not None:
+      updates['qpos'] = jnp.asarray(qpos, dtype=d.qpos.dtype)
+    if qvel is not None:
+      updates['qvel'] = jnp.asarray(qvel, dtype=d.qpos.dtype)
+    if act is not None:
+      updates['act'] = jnp.asarray(act, dtype=d.qpos.dtype)
+    if time is not None:
+      updates['time'] = jnp.asarray(time, dtype=d.qpos.dtype)
+    if mocap_pos is not None:
+      updates['mocap_pos'] = jnp.asarray(mocap_pos, dtype=d.qpos.dtype)
+    if ctrl is not None:
+      updates['ctrl'] = jnp.asarray(ctrl, dtype=d.qpos.dtype)
+    self.sim_data = d.replace(**updates)
+
+  # -- reference Agent::PlanIteration --------------------------------------
+  def plan_iteration(self):
+    self.key, k = jax.random.split(self.key)
+    plan_d = sync_plan_state(self.plan_data, self.sim_data)
+    self.policy, info = self._optimize(self.policy, plan_d, self.params,
+                                       self.cfg, k)
+    return info
+
+  # -- reference Agent::ActionFromPolicy -----------------------------------
+  def action(self, time=None) -> jax.Array:
+    t = self.sim_data.time if time is None else time
+    return self._action(self.policy, t)
+
+  # -- physics step with the policy action ---------------------------------
+  def step(self):
+    u = self.action()
+    self.sim_data = self._step(self.sim_data.replace(ctrl=u))
+    return self.sim_data
+
+  def cost_terms(self):
+    m = self.spec.model
+    d = fwd.forward(m, self.sim_data)
+    res = self.spec.residual_fn(m, d, self.params.residual_params)
+    return self.spec.cost_terms(res, self.params)
+
+  def set_cost_weights(self, weights_by_name):
+    w = self.params.weights
+    for name, val in weights_by_name.items():
+      idx = self.spec.term_names.index(name)
+      w = w.at[idx].set(val)
+    self.params = self.params.replace(weights=w)
+
+  def set_task_parameter(self, name, value):
+    idx = self.spec.residual_param_names.index(name)
+    rp = self.params.residual_params.at[idx].set(value)
+    self.params = self.params.replace(residual_params=rp)

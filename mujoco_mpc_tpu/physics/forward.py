@@ -163,11 +163,15 @@ def _implicit(m: Model, d: Data) -> Data:
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
-def step(m: Model, d: Data) -> Data:
-  """One simulation step: forward dynamics + integration (analog: mj_step)."""
-  d = forward(m, d)
+def integrate(m: Model, d: Data) -> Data:
+  """Advance post-forward Data by one timestep with the model integrator."""
   if m.opt.integrator == IntegratorType.RK4:
     return _rk4(m, d)
   elif m.opt.integrator in (2, 3):  # implicit / implicitfast
     return _implicit(m, d)
   return _euler(m, d)
+
+
+def step(m: Model, d: Data) -> Data:
+  """One simulation step: forward dynamics + integration (analog: mj_step)."""
+  return integrate(m, forward(m, d))

@@ -410,6 +410,22 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   """Fresh Data at qpos0 / zero velocity (analog of mj_makeData+mj_resetData)."""
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
   nuserdata = 16
+  # mocap bodies initialize to their model frame (analog: mj_resetData)
+  if m.nmocap:
+    rows_pos, rows_quat = [], []
+    for b in range(m.nbody):
+      if m.body_mocapid[b] >= 0:
+        rows_pos.append((m.body_mocapid[b], m.body_pos[b]))
+        rows_quat.append((m.body_mocapid[b], m.body_quat[b]))
+    mocap_pos = jnp.zeros((m.nmocap, 3), dtype=dtype)
+    mocap_quat = jnp.zeros((m.nmocap, 4), dtype=dtype)
+    for i, v in rows_pos:
+      mocap_pos = mocap_pos.at[i].set(v.astype(dtype))
+    for i, v in rows_quat:
+      mocap_quat = mocap_quat.at[i].set(v.astype(dtype))
+  else:
+    mocap_pos = z(0, 3)
+    mocap_quat = jnp.zeros((0, 4), dtype=dtype)
   return Data(
       time=jnp.asarray(0.0, dtype=dtype),
       qpos=jnp.asarray(m.qpos0, dtype=dtype),
@@ -418,9 +434,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
       ctrl=z(m.nu),
       qfrc_applied=z(m.nv),
       xfrc_applied=z(m.nbody, 6),
-      mocap_pos=z(m.nmocap, 3),
-      mocap_quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype),
-                          (m.nmocap, 1)),
+      mocap_pos=mocap_pos,
+      mocap_quat=mocap_quat,
       userdata=z(nuserdata),
       xpos=z(m.nbody, 3),
       xquat=z(m.nbody, 4),

@@ -1,0 +1,74 @@
+"""Support queries over Data: object velocities, state get/set, state diff.
+
+Equivalents of the utilities the reference residuals/estimators rely on
+(mj_objectVelocity, SensorByName-backed framepos/framelinvel,
+utilities.cc StateDiff on the quaternion manifold).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics.model import Data, JointType, Model
+from mujoco_mpc_tpu.utils import tpu_math as tm
+
+
+def point_velocity(m: Model, d: Data, bodyid: int,
+                   point: jax.Array) -> jax.Array:
+  """World-frame linear velocity of a point attached to a body."""
+  origin = d.subtree_com[m.body_rootid[bodyid]]
+  w = d.cvel[bodyid, :3]
+  return d.cvel[bodyid, 3:] + jnp.cross(w, point - origin)
+
+
+def site_linvel(m: Model, d: Data, siteid: int) -> jax.Array:
+  """Linear velocity of a site (analog: framelinvel sensor)."""
+  return point_velocity(m, d, m.site_bodyid[siteid], d.site_xpos[siteid])
+
+
+def body_angvel(m: Model, d: Data, bodyid: int) -> jax.Array:
+  return d.cvel[bodyid, :3]
+
+
+def get_state(d: Data) -> jax.Array:
+  """Concatenated physics state (qpos, qvel, act), reference State order."""
+  return jnp.concatenate([d.qpos, d.qvel, d.act])
+
+
+def set_state(m: Model, d: Data, state: jax.Array) -> Data:
+  qpos = state[:m.nq]
+  qvel = state[m.nq:m.nq + m.nv]
+  act = state[m.nq + m.nv:m.nq + m.nv + m.na]
+  return d.replace(qpos=qpos, qvel=qvel, act=act)
+
+
+def state_diff(m: Model, qpos1: jax.Array, qpos2: jax.Array) -> jax.Array:
+  """Velocity-space difference (qpos2 ⊖ qpos1) / 1, handling quaternions
+  (analog: mj_differentiatePos; used by iLQG feedback and estimators)."""
+  out = jnp.zeros(m.nv, dtype=qpos1.dtype)
+  for j in range(m.njnt):
+    jtype = m.jnt_type[j]
+    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    if jtype == JointType.FREE:
+      out = out.at[dofadr:dofadr + 3].set(
+          qpos2[qadr:qadr + 3] - qpos1[qadr:qadr + 3])
+      phi = tm.quat_sub(
+          jax.lax.dynamic_slice(qpos2, (qadr + 3,), (4,)),
+          jax.lax.dynamic_slice(qpos1, (qadr + 3,), (4,)))
+      out = jax.lax.dynamic_update_slice(out, phi, (dofadr + 3,))
+    elif jtype == JointType.BALL:
+      phi = tm.quat_sub(
+          jax.lax.dynamic_slice(qpos2, (qadr,), (4,)),
+          jax.lax.dynamic_slice(qpos1, (qadr,), (4,)))
+      out = jax.lax.dynamic_update_slice(out, phi, (dofadr,))
+    else:
+      out = out.at[dofadr].set(qpos2[qadr] - qpos1[qadr])
+  return out
+
+
+def integrate_state(m: Model, qpos: jax.Array, dq: jax.Array,
+                    scale=1.0) -> jax.Array:
+  """qpos ⊕ scale * dq (analog: mj_integratePos with dt=scale)."""
+  return fwd.integrate_pos(m, qpos, dq, scale)

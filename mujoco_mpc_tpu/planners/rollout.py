@@ -1,0 +1,89 @@
+"""Batched rollout engine: vmap(lax.scan(step)) over candidate policies.
+
+TPU-native replacement for the reference Trajectory::Rollout + ThreadPool
+fan-out (/root/reference/mjpc/trajectory.cc:92-210, threadpool.cc:51-80).
+One candidate = one lax.scan over the horizon; thousands of candidates are
+a vmap (single chip) or shard_map (pod slice) axis instead of worker
+threads with per-thread mjData.
+
+Semantics matched to the reference:
+  * residual t is evaluated at (x_t, u_t) post-forward, pre-integration
+    (trajectory.cc:141-180 records sensordata computed by mj_step's forward);
+  * the last action repeats the previous one (trajectory.cc:283-291);
+  * total return = mean cost over the horizon (trajectory.cc:312-326);
+  * divergence => return kMaxReturnValue (trajectory.cc:29), detected as
+    non-finite return instead of MuJoCo warning counters.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics.model import Data, Model
+from mujoco_mpc_tpu.tasks.base import TaskParams, TaskSpec
+
+# reference: trajectory.cc:29
+MAX_RETURN_VALUE = 1.0e6
+
+
+def rollout_actions(spec: TaskSpec, d0: Data, actions: jax.Array,
+                    params: TaskParams) -> Tuple[jax.Array, jax.Array]:
+  """Roll out an action sequence (T, nu); returns (residuals (T, nres),
+  costs (T,))."""
+  m = spec.model
+
+  def body(d, action):
+    d = d.replace(ctrl=action)
+    d = fwd.forward(m, d)
+    res = spec.residual_fn(m, d, params.residual_params)
+    d = fwd.integrate(m, d)
+    return d, res
+
+  _, residuals = jax.lax.scan(body, d0, actions)
+  costs = spec.cost(residuals, params)
+  return residuals, costs
+
+
+def total_return(costs: jax.Array) -> jax.Array:
+  """Mean cost over horizon with divergence guard."""
+  ret = jnp.mean(costs, axis=-1)
+  return jnp.where(jnp.isfinite(ret), ret, MAX_RETURN_VALUE)
+
+
+def rollout_return(spec: TaskSpec, d0: Data, actions: jax.Array,
+                   params: TaskParams) -> jax.Array:
+  _, costs = rollout_actions(spec, d0, actions, params)
+  return total_return(costs)
+
+
+def noisy_rollout_return(spec: TaskSpec, d0: Data, actions: jax.Array,
+                         params: TaskParams, key: jax.Array,
+                         xfrc_std: jax.Array,
+                         xfrc_rate: jax.Array) -> jax.Array:
+  """Rollout under Ornstein-Uhlenbeck random body-force perturbations
+  (reference: Trajectory::NoisyRollout, trajectory.cc:100-155), used by the
+  Robust planner to score candidates under disturbance."""
+  m = spec.model
+  t = actions.shape[0]
+  keys = jax.random.split(key, t)
+
+  def body(carry, inp):
+    d, xfrc = carry
+    action, k = inp
+    # OU update on the perturbation wrench of every body
+    eps = jax.random.normal(k, xfrc.shape, dtype=xfrc.dtype)
+    xfrc = xfrc * (1.0 - xfrc_rate) + eps * xfrc_std
+    d = d.replace(ctrl=action, xfrc_applied=xfrc)
+    d = fwd.forward(m, d)
+    res = spec.residual_fn(m, d, params.residual_params)
+    d = fwd.integrate(m, d)
+    return (d, xfrc), res
+
+  xfrc0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype)
+  _, residuals = jax.lax.scan(body, (d0, xfrc0), (actions, keys))
+  costs = spec.cost(residuals, params)
+  return total_return(costs)
