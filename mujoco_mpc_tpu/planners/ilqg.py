@@ -1,0 +1,392 @@
+"""iLQG planner: Riccati backward pass, boxQP control limits, feedback policy.
+
+TPU-native re-design of the reference iLQGPlanner
+(/root/reference/mjpc/planners/ilqg/{planner,backward_pass,policy}.cc,
+boxqp.h). Structure:
+
+  * backward Riccati recursion = reverse lax.scan over exact (A, B) Jacobians
+    and Gauss-Newton cost expansions (planners/derivatives.py) — replacing
+    the reference's per-knot mjd_transitionFD ThreadPool fanout;
+  * control limits via a masked projected-Newton boxQP (the fixed-size,
+    branch-free analog of mju_boxQP's active-set loop) that also produces
+    feedback gains with clamped rows zeroed;
+  * regularization: control / state-control / value / none schedules with
+    escalation on backward-pass failure and surprise-based adaptation
+    (backward_pass.cc:341-356);
+  * line search = batched feedback rollouts over log-spaced action-
+    improvement scales (ActionRollouts, planner.cc:618-667);
+  * policy = time-indexed affine feedback u = ū + α·k + K·(x ⊖ x̄) with
+    zero/linear interpolation of actions/states/gains (policy.cc:82-150).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.ops import linalg
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics import support
+from mujoco_mpc_tpu.physics.model import Data
+from mujoco_mpc_tpu.planners import derivatives, rollout as rollout_mod
+from mujoco_mpc_tpu.tasks.base import TaskParams, TaskSpec
+
+# reference: ilqg/settings.h
+MIN_LINESEARCH_STEP = 1.0e-3
+MIN_REGULARIZATION = 1.0e-6
+MAX_REGULARIZATION = 1.0e6
+MAX_REGULARIZATION_ITERATIONS = 5
+
+# regularization types (backward_pass.h:28-32)
+REG_CONTROL = 0
+REG_STATE_CONTROL = 1
+REG_VALUE = 2
+REG_NONE = 3
+
+
+@struct.dataclass
+class ILQGPolicy:
+  """Time-indexed affine feedback policy."""
+  times: jax.Array               # (T,)
+  qpos: jax.Array                # (T, nq) nominal states
+  qvel: jax.Array                # (T, nv)
+  act: jax.Array                 # (T, na)
+  actions: jax.Array             # (T, nu) nominal actions
+  feedback_gain: jax.Array       # (T, nu, ndx)
+  action_improvement: jax.Array  # (T, nu)
+  feedback_scaling: jax.Array    # scalar
+
+
+@struct.dataclass
+class ILQGState:
+  policy: ILQGPolicy
+  regularization: jax.Array
+  regularization_factor: jax.Array
+  previous_return: jax.Array
+
+
+@struct.dataclass
+class ILQGConfig:
+  timestep: jax.Array
+  horizon_time: jax.Array
+  regularization_type: int = struct.field(pytree_node=False, default=0)
+  action_limits: bool = struct.field(pytree_node=False, default=True)
+  representation: int = struct.field(pytree_node=False, default=0)  # 0=zero
+
+
+def default_config(spec: TaskSpec, dtype=jnp.float32) -> ILQGConfig:
+  cfg = spec.config
+  return ILQGConfig(
+      timestep=jnp.asarray(cfg.get('agent_timestep',
+                                   float(spec.mj_model.opt.timestep)), dtype),
+      horizon_time=jnp.asarray(cfg.get('agent_horizon', 1.0), dtype),
+      regularization_type=int(cfg.get('ilqg_regularization_type', 0)),
+      action_limits=True,
+      representation=int(cfg.get('ilqg_representation', 0)))
+
+
+def default_state(spec: TaskSpec, horizon_steps: int,
+                  dtype=jnp.float32) -> ILQGState:
+  m = spec.model
+  nd = derivatives.ndx(m)
+  t = horizon_steps
+  policy = ILQGPolicy(
+      times=jnp.arange(t, dtype=dtype) * float(spec.mj_model.opt.timestep),
+      qpos=jnp.tile(m.qpos0.astype(dtype), (t, 1)),
+      qvel=jnp.zeros((t, m.nv), dtype=dtype),
+      act=jnp.zeros((t, m.na), dtype=dtype),
+      actions=jnp.zeros((t, m.nu), dtype=dtype),
+      feedback_gain=jnp.zeros((t, m.nu, nd), dtype=dtype),
+      action_improvement=jnp.zeros((t, m.nu), dtype=dtype),
+      feedback_scaling=jnp.asarray(1.0, dtype=dtype))
+  return ILQGState(
+      policy=policy,
+      regularization=jnp.asarray(1.0, dtype=dtype),
+      regularization_factor=jnp.asarray(2.0, dtype=dtype),
+      previous_return=jnp.asarray(rollout_mod.MAX_RETURN_VALUE, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# boxQP: masked projected Newton (analog of mju_boxQP / Tassa's boxQP)
+# ---------------------------------------------------------------------------
+
+
+def boxqp(h: jax.Array, g: jax.Array, lower: jax.Array, upper: jax.Array,
+          iterations: int = 8):
+  """min_x 0.5 x'Hx + g'x  s.t. lower <= x <= upper.
+
+  Returns (x, free_mask, ok). Fixed iteration count, fully branch-free.
+  """
+  nu = g.shape[0]
+  eye = jnp.eye(nu, dtype=h.dtype)
+
+  def obj(x):
+    return 0.5 * x @ (h @ x) + g @ x
+
+  def body(_, carry):
+    x, _free = carry
+    grad = g + h @ x
+    at_lo = jnp.logical_and(x <= lower + 1e-10, grad > 0)
+    at_hi = jnp.logical_and(x >= upper - 1e-10, grad < 0)
+    free = jnp.logical_not(jnp.logical_or(at_lo, at_hi))
+    fm = free.astype(h.dtype)
+    hm = (h * jnp.outer(fm, fm)) + eye * (1.0 - fm)
+    dx = linalg.solve_spd(hm + 1e-12 * eye, grad * fm)
+    # backtracking line search, projected
+    alphas = jnp.array([1.0, 0.5, 0.25, 0.125, 0.0625], dtype=h.dtype)
+    cands = jnp.clip(x[None] - alphas[:, None] * dx[None], lower, upper)
+    objs = jax.vmap(obj)(cands)
+    best = jnp.argmin(objs)
+    x_new = jnp.where(objs[best] < obj(x), cands[best], x)
+    return (x_new, free)
+
+  x0 = jnp.clip(jnp.zeros_like(g), lower, upper)
+  x, free = jax.lax.fori_loop(0, iterations, body,
+                              (x0, jnp.ones(nu, dtype=bool)))
+  ok = jnp.all(jnp.isfinite(x))
+  return x, free, ok
+
+
+# ---------------------------------------------------------------------------
+# Riccati backward pass
+# ---------------------------------------------------------------------------
+
+
+def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
+            actions: jax.Array, ctrlrange: jax.Array, reg_type: int,
+            action_limits: bool):
+  """Backward recursion. Returns (k, K, dV (2,), ok).
+
+  k/K have leading axis T (last step copies T-2, reference planner.cc:
+  493-506).
+  """
+  a, b = derivs.a, derivs.b
+  cx, cu, cxx, cxu, cuu = (derivs.cx, derivs.cu, derivs.cxx, derivs.cxu,
+                           derivs.cuu)
+  tm1, nd, nu = a.shape[0], a.shape[1], b.shape[2]
+  eye_u = jnp.eye(nu, dtype=a.dtype)
+
+  def step(carry, inp):
+    vx, vxx, dv0, dv1, ok = carry
+    at, bt, cxt, cut, cxxt, cxut, cuut, ut = inp
+
+    at_vxx = at.T @ vxx
+    qx = cxt + at.T @ vx
+    qxx = cxxt + at_vxx @ at
+    qu = cut + bt.T @ vx
+    qxu = cxut + at_vxx @ bt
+    quu = cuut + (bt.T @ vxx) @ bt
+
+    if reg_type == REG_VALUE:
+      vxx_reg = vxx + mu * jnp.eye(nd, dtype=a.dtype)
+      at_vreg = at.T @ vxx_reg
+      qxu_reg = cxut + at_vreg @ bt
+      quu_reg = cuut + (bt.T @ vxx_reg) @ bt
+    elif reg_type == REG_CONTROL:
+      qxu_reg = qxu
+      quu_reg = quu + mu * eye_u
+    elif reg_type == REG_STATE_CONTROL:
+      qxu_reg = qxu + mu * (at.T @ bt)
+      quu_reg = quu + mu * (bt.T @ bt)
+    else:
+      qxu_reg = qxu
+      quu_reg = quu
+
+    if action_limits:
+      lower = ctrlrange[:, 0] - ut
+      upper = ctrlrange[:, 1] - ut
+      du, free, qp_ok = boxqp(quu_reg, qu, lower, upper)
+      fm = free.astype(a.dtype)
+      hm = (quu_reg * jnp.outer(fm, fm)) + eye_u * (1.0 - fm)
+      # K = -H_free^{-1} Qxu_free' with clamped rows zero; chol_solve solves
+      # along the LAST axis, so pass (nd, nu) and transpose
+      kt = -linalg.solve_spd(hm + 1e-12 * eye_u, qxu_reg * fm[None, :]).T
+      step_ok = qp_ok
+    else:
+      chol = linalg.chol_factor(quu_reg)
+      du = -linalg.chol_solve(chol, qu)
+      kt = -linalg.chol_solve(chol, qxu_reg).T
+      diag = jnp.diagonal(chol)
+      step_ok = jnp.logical_and(jnp.all(jnp.isfinite(diag)),
+                                jnp.all(diag > 0))
+
+    # PD sanity: cholesky of quu_reg must be finite
+    diag_q = jnp.diagonal(linalg.chol_factor(quu_reg))
+    step_ok = jnp.logical_and(
+        step_ok, jnp.logical_and(jnp.all(jnp.isfinite(diag_q)),
+                                 jnp.all(diag_q > 1e-15)))
+
+    quu_du = quu @ du
+    dv0_new = dv0 + du @ qu
+    dv1_new = dv1 + 0.5 * du @ quu_du
+
+    vx_new = qx + kt.T @ (quu_du + qu) + qxu @ du
+    vxx_new = qxx + kt.T @ quu @ kt + qxu @ kt + kt.T @ qxu.T
+    vxx_new = 0.5 * (vxx_new + vxx_new.T)
+
+    ok_new = jnp.logical_and(ok, step_ok)
+    return (vx_new, vxx_new, dv0_new, dv1_new, ok_new), (du, kt)
+
+  init = (cx[-1], cxx[-1], jnp.zeros((), a.dtype), jnp.zeros((), a.dtype),
+          jnp.array(True))
+  (vx, vxx, dv0, dv1, ok), (k, gain) = jax.lax.scan(
+      step, init,
+      (a, b, cx[:-1], cu[:-1], cxx[:-1], cxu[:-1], cuu[:-1], actions[:-1]),
+      reverse=True)
+
+  # copy last step (reference planner.cc:493-506)
+  k = jnp.concatenate([k, k[-1:]], axis=0)
+  gain = jnp.concatenate([gain, gain[-1:]], axis=0)
+  return k, gain, jnp.stack([dv0, dv1]), ok
+
+
+# ---------------------------------------------------------------------------
+# feedback rollouts + policy action
+# ---------------------------------------------------------------------------
+
+
+def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
+                      scale: jax.Array, params: TaskParams,
+                      horizon_steps: int):
+  """Roll out u_t = clamp(ū_t + scale·k_t + K_t (x ⊖ x̄_t)) from d0,
+  indexing the nominal by step (times aligned)."""
+  m = spec.model
+  lo = m.actuator_ctrlrange[:, 0]
+  hi = m.actuator_ctrlrange[:, 1]
+
+  def body(d, t):
+    dx = jnp.concatenate(
+        [support.state_diff(m, policy.qpos[t], d.qpos),
+         d.qvel - policy.qvel[t]] +
+        ([d.act - policy.act[t]] if m.na else []))
+    u = (policy.actions[t] + scale * policy.action_improvement[t]
+         + policy.feedback_gain[t] @ dx)
+    u = jnp.clip(u, lo, hi)
+    d = d.replace(ctrl=u)
+    df = fwd.forward(m, d)
+    res = spec.residual_fn(m, df, params.residual_params)
+    d = fwd.integrate(m, df)
+    return d, (u, res, df.qpos, df.qvel, df.act, df.time)
+
+  _, (actions, residuals, qpos, qvel, act, times) = jax.lax.scan(
+      body, d0, jnp.arange(horizon_steps))
+  costs = spec.cost(residuals, params)
+  ret = rollout_mod.total_return(costs)
+  return ret, actions, qpos, qvel, act, times
+
+
+def action_from_policy(spec: TaskSpec, policy: ILQGPolicy, qpos: jax.Array,
+                       qvel: jax.Array, act: jax.Array,
+                       time: jax.Array) -> jax.Array:
+  """u = ū(t) + feedback_scaling · K(t) (x ⊖ x̄(t)), zero interpolation
+  (reference policy.cc:82-150, representation 0)."""
+  m = spec.model
+  t_idx = jnp.clip(
+      jnp.searchsorted(policy.times, time, side='right') - 1, 0,
+      policy.times.shape[0] - 1)
+  dx = jnp.concatenate(
+      [support.state_diff(m, policy.qpos[t_idx], qpos),
+       qvel - policy.qvel[t_idx]] +
+      ([act - policy.act[t_idx]] if m.na else []))
+  u = (policy.actions[t_idx]
+       + policy.feedback_scaling * (policy.feedback_gain[t_idx] @ dx))
+  return jnp.clip(u, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])
+
+
+# ---------------------------------------------------------------------------
+# optimize
+# ---------------------------------------------------------------------------
+
+
+def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
+             cfg: ILQGConfig, num_candidates: int,
+             horizon_steps: int) -> Tuple[ILQGState, dict]:
+  """One iLQG planning iteration (reference: planner.cc Iteration)."""
+  m = spec.model
+  dtype = d0.qpos.dtype
+
+  # ----- nominal rollout under the current feedback policy -----
+  prev_ret, actions, qpos, qvel, act, times = _feedback_rollout(
+      spec, d0, state.policy, jnp.zeros((), dtype), params, horizon_steps)
+
+  # re-record the nominal open-loop (same trajectory: feedback terms vanish
+  # when replaying the recorded actions from the same initial state)
+  traj = derivatives.nominal_trajectory(spec, d0, actions, params)
+
+  # ----- derivatives -----
+  derivs = derivatives.compute(spec, d0, traj, params)
+
+  # ----- backward pass with regularization escalation -----
+  def bp(mu):
+    return riccati(derivs, mu, traj.actions, m.actuator_ctrlrange,
+                   cfg.regularization_type, cfg.action_limits)
+
+  def cond(carry):
+    mu, it, ok = carry
+    return jnp.logical_and(jnp.logical_not(ok),
+                           it < MAX_REGULARIZATION_ITERATIONS)
+
+  def escalate(carry):
+    mu, it, _ = carry
+    mu_new = jnp.clip(mu * state.regularization_factor,
+                      MIN_REGULARIZATION, MAX_REGULARIZATION)
+    _, _, _, ok = bp(mu_new)
+    return (mu_new, it + 1, ok)
+
+  _, _, _, ok0 = bp(state.regularization)
+  mu, _, bp_ok = jax.lax.while_loop(
+      cond, escalate, (state.regularization, jnp.array(0, jnp.int32), ok0))
+  k, gain, dv, _ = bp(mu)
+
+  nominal_policy = ILQGPolicy(
+      times=traj.time, qpos=traj.qpos, qvel=traj.qvel, act=traj.act,
+      actions=traj.actions, feedback_gain=gain, action_improvement=k,
+      feedback_scaling=jnp.asarray(1.0, dtype))
+
+  # ----- line search: batched feedback rollouts -----
+  steps = jnp.concatenate([
+      jnp.logspace(0.0, jnp.log10(MIN_LINESEARCH_STEP),
+                   num_candidates - 1, dtype=dtype),
+      jnp.zeros(1, dtype=dtype)])
+
+  def one(scale):
+    return _feedback_rollout(spec, d0, nominal_policy, scale, params,
+                             horizon_steps)
+
+  rets, acts_all, qpos_all, qvel_all, act_all, times_all = jax.vmap(one)(
+      steps)
+  winner = jnp.argmin(rets)
+
+  new_policy = ILQGPolicy(
+      times=times_all[winner], qpos=qpos_all[winner], qvel=qvel_all[winner],
+      act=act_all[winner], actions=acts_all[winner], feedback_gain=gain,
+      action_improvement=k, feedback_scaling=jnp.asarray(1.0, dtype))
+
+  # ----- surprise-based regularization update (backward_pass.cc:341-356) ---
+  action_step = steps[winner]
+  expected = -action_step * (dv[0] + action_step * dv[1]) + 1.0e-16
+  improvement = prev_ret - rets[winner]
+  surprise = jnp.clip(improvement / expected, 0.0, 2.0)
+
+  factor = state.regularization_factor
+  good = jnp.logical_or(surprise > 0.5, action_step > 0.3)
+  bad = jnp.logical_or(surprise < 0.1, action_step < 0.06)
+  scale = jnp.where(good, 1.0 / factor, jnp.where(bad, factor, 1.0))
+  mu_next = jnp.clip(mu * scale, MIN_REGULARIZATION, MAX_REGULARIZATION)
+
+  new_state = ILQGState(
+      policy=new_policy, regularization=mu_next,
+      regularization_factor=factor, previous_return=rets[winner])
+  info = {
+      'best_return': rets[winner],
+      'nominal_return': prev_ret,
+      'improvement': jnp.maximum(improvement, 0.0),
+      'action_step': action_step,
+      'surprise': surprise,
+      'regularization': mu_next,
+      'backward_pass_ok': bp_ok,
+  }
+  return new_state, info
