@@ -250,14 +250,21 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
 
 def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
                       scale: jax.Array, params: TaskParams,
-                      horizon_steps: int):
-  """Roll out u_t = clamp(ū_t + scale·k_t + K_t (x ⊖ x̄_t)) from d0,
-  indexing the nominal by step (times aligned)."""
+                      horizon_steps: int, index_by_time: bool = False):
+  """Roll out u_t = clamp(ū_t + scale·k_t + K_t (x ⊖ x̄_t)) from d0.
+
+  index_by_time=True looks the nominal up by absolute time (the reference's
+  FindInterval; needed when the stored plan starts earlier than d0.time);
+  False indexes by step, exact for a plan just recorded from d0."""
   m = spec.model
   lo = m.actuator_ctrlrange[:, 0]
   hi = m.actuator_ctrlrange[:, 1]
 
   def body(d, t):
+    if index_by_time:
+      t = jnp.clip(
+          jnp.searchsorted(policy.times, d.time, side='right') - 1, 0,
+          policy.times.shape[0] - 1)
     dx = jnp.concatenate(
         [support.state_diff(m, policy.qpos[t], d.qpos),
          d.qvel - policy.qvel[t]] +
@@ -310,7 +317,8 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
 
   # ----- nominal rollout under the current feedback policy -----
   prev_ret, actions, qpos, qvel, act, times = _feedback_rollout(
-      spec, d0, state.policy, jnp.zeros((), dtype), params, horizon_steps)
+      spec, d0, state.policy, jnp.zeros((), dtype), params, horizon_steps,
+      index_by_time=True)
 
   # re-record the nominal open-loop (same trajectory: feedback terms vanish
   # when replaying the recorded actions from the same initial state)
