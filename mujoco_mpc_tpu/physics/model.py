@@ -138,6 +138,15 @@ class Model:
   actuator_forcelimited: Tuple[int, ...] = _static(())
   has_fluid: bool = _static(False)
 
+  # sensors (static metadata; values computed by physics/sensors.py)
+  nsensordata: int = _static(0)
+  sensor_type: Tuple[int, ...] = _static(())
+  sensor_objtype: Tuple[int, ...] = _static(())
+  sensor_objid: Tuple[int, ...] = _static(())
+  sensor_adr: Tuple[int, ...] = _static(())
+  sensor_dim: Tuple[int, ...] = _static(())
+  sensor_names: Tuple[str, ...] = _static(())
+
   # names for host-side lookup (static)
   body_names: Tuple[str, ...] = _static(())
   joint_names: Tuple[str, ...] = _static(())
@@ -348,6 +357,13 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       actuator_forcelimited=t(mj.actuator_forcelimited),
       has_fluid=bool(mj.opt.density > 0 or mj.opt.viscosity > 0
                      or np.any(mj.opt.wind)),
+      nsensordata=mj.nsensordata,
+      sensor_type=t(mj.sensor_type),
+      sensor_objtype=t(mj.sensor_objtype),
+      sensor_objid=t(mj.sensor_objid),
+      sensor_adr=t(mj.sensor_adr),
+      sensor_dim=t(mj.sensor_dim),
+      sensor_names=_names(mj, mj.name_sensoradr, mj.nsensor),
       body_names=_names(mj, mj.name_bodyadr, mj.nbody),
       joint_names=_names(mj, mj.name_jntadr, mj.njnt),
       geom_names=_names(mj, mj.name_geomadr, mj.ngeom),

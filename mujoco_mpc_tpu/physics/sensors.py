@@ -1,0 +1,136 @@
+"""Sensor evaluation: MuJoCo-compatible sensordata as a pure function.
+
+Equivalent of mj_sensorPos/Vel/Acc for the sensor types the reference's
+tasks and estimators rely on (jointpos/jointvel sensors feed the Kalman/
+Batch estimators, framepos/framelinvel feed residuals, accelerometer/gyro
+feed the estimation examples). Evaluated on demand — the planner hot loop
+reads Data fields directly, so rollout steps never pay for sensor packing.
+
+Golden-tested against mjd sensordata in tests/test_sensors.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics.model import Data, Model
+from mujoco_mpc_tpu.utils import tpu_math as tm
+
+# mjtSensor values
+JOINTPOS = 9
+JOINTVEL = 10
+FRAMEPOS = 26
+FRAMEQUAT = 27
+FRAMELINVEL = 31
+FRAMEANGVEL = 32
+ACCELEROMETER = 1
+VELOCIMETER = 2
+GYRO = 3
+SUBTREECOM = 35
+USER = 48
+
+# mjtObj values
+OBJ_BODY = 1
+OBJ_XBODY = 2
+OBJ_GEOM = 5
+OBJ_SITE = 6
+
+
+def _object_frame(m: Model, d: Data, objtype: int, objid: int):
+  """(pos, rotmat, bodyid) of a sensor attachment object."""
+  if objtype == OBJ_SITE:
+    return d.site_xpos[objid], d.site_xmat[objid], m.site_bodyid[objid]
+  if objtype == OBJ_GEOM:
+    return d.geom_xpos[objid], d.geom_xmat[objid], m.geom_bodyid[objid]
+  # body (inertial frame) / xbody (body frame)
+  if objtype == OBJ_BODY:
+    return d.xipos[objid], d.ximat[objid], objid
+  return d.xpos[objid], d.xmat[objid], objid
+
+
+def _point_vel(m: Model, d: Data, bodyid: int, point: jax.Array):
+  origin = d.subtree_com[m.body_rootid[bodyid]]
+  w = d.cvel[bodyid, :3]
+  return d.cvel[bodyid, 3:] + jnp.cross(w, point - origin), w
+
+
+def _cacc(m: Model, d: Data):
+  """Com-frame body accelerations incl. gravity (mj_rnePostConstraint)."""
+  dtype = d.qpos.dtype
+  cacc = [jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])]
+  for b in range(1, m.nbody):
+    p = m.body_parentid[b]
+    a = cacc[p]
+    for i in range(m.body_dofadr[b], m.body_dofadr[b] + m.body_dofnum[b]):
+      a = a + d.cdof_dot[i] * d.qvel[i] + d.cdof[i] * d.qacc[i]
+    cacc.append(a)
+  return jnp.stack(cacc)
+
+
+def sensordata(m: Model, d: Data) -> jax.Array:
+  """Evaluate all sensors -> (nsensordata,). Requires post-forward Data."""
+  dtype = d.qpos.dtype
+  out = jnp.zeros(m.nsensordata, dtype=dtype)
+  cacc = None
+
+  for s in range(len(m.sensor_type)):
+    stype = m.sensor_type[s]
+    objid = m.sensor_objid[s]
+    objtype = m.sensor_objtype[s]
+    adr = m.sensor_adr[s]
+
+    if stype == USER:
+      continue  # task residual sensors are computed by the task layer
+    elif stype == JOINTPOS:
+      val = d.qpos[m.jnt_qposadr[objid]][None]
+    elif stype == JOINTVEL:
+      val = d.qvel[m.jnt_dofadr[objid]][None]
+    elif stype == FRAMEPOS:
+      pos, _, _ = _object_frame(m, d, objtype, objid)
+      val = pos
+    elif stype == FRAMEQUAT:
+      _, mat, bodyid = _object_frame(m, d, objtype, objid)
+      # quaternion of the frame (recover from body xquat and static offset)
+      if objtype == OBJ_SITE:
+        val = tm.quat_mul(d.xquat[bodyid], m.site_quat[objid])
+      elif objtype == OBJ_GEOM:
+        val = tm.quat_mul(d.xquat[bodyid], m.geom_quat[objid])
+      elif objtype == OBJ_BODY:
+        val = tm.quat_mul(d.xquat[bodyid], m.body_iquat[objid])
+      else:
+        val = d.xquat[objid]
+    elif stype == FRAMELINVEL:
+      pos, _, bodyid = _object_frame(m, d, objtype, objid)
+      v, _ = _point_vel(m, d, bodyid, pos)
+      val = v
+    elif stype == FRAMEANGVEL:
+      _, _, bodyid = _object_frame(m, d, objtype, objid)
+      val = d.cvel[bodyid, :3]
+    elif stype == GYRO:
+      _, mat, bodyid = _object_frame(m, d, objtype, objid)
+      val = mat.T @ d.cvel[bodyid, :3]
+    elif stype == VELOCIMETER:
+      pos, mat, bodyid = _object_frame(m, d, objtype, objid)
+      v, _ = _point_vel(m, d, bodyid, pos)
+      val = mat.T @ v
+    elif stype == ACCELEROMETER:
+      if cacc is None:
+        cacc = _cacc(m, d)
+      pos, mat, bodyid = _object_frame(m, d, objtype, objid)
+      origin = d.subtree_com[m.body_rootid[bodyid]]
+      rel = pos - origin
+      ang_acc = cacc[bodyid, :3]
+      lin_acc = cacc[bodyid, 3:] + jnp.cross(ang_acc, rel)
+      v, w = _point_vel(m, d, bodyid, pos)
+      # classical acceleration correction: a += w x v(p)
+      lin_acc = lin_acc + jnp.cross(w, v)
+      val = mat.T @ lin_acc
+    elif stype == SUBTREECOM:
+      val = d.subtree_com[objid]
+    else:
+      # unsupported sensor: leave zeros
+      continue
+
+    out = jax.lax.dynamic_update_slice(out, val.astype(dtype), (adr,))
+  return out

@@ -1,0 +1,66 @@
+"""Sensor golden tests vs mujoco sensordata."""
+
+import mujoco
+import numpy as np
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics import sensors
+from mujoco_mpc_tpu.physics.model import make_data, put_model
+
+XML = """
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="h1" type="hinge" axis="0 1 0" damping="0.02"/>
+      <geom name="g1" type="capsule" size="0.04" fromto="0 0 0 0.5 0 0" mass="0.5"/>
+      <site name="s1" pos="0.5 0 0" quat="0.92 0.38 0 0"/>
+      <body pos="0.5 0 0">
+        <joint name="s2j" type="slide" axis="0 0 1" damping="0.01"/>
+        <geom name="g2" type="sphere" size="0.05" mass="0.2"/>
+        <site name="s2" pos="0 0 -0.1"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor joint="h1" gear="1"/></actuator>
+  <sensor>
+    <jointpos name="jp" joint="h1"/>
+    <jointvel name="jv" joint="s2j"/>
+    <framepos name="fp" objtype="site" objname="s1"/>
+    <framequat name="fq" objtype="site" objname="s1"/>
+    <framelinvel name="flv" objtype="site" objname="s2"/>
+    <frameangvel name="fav" objtype="body" objname="world"/>
+    <gyro name="gy" site="s1"/>
+    <velocimeter name="vm" site="s2"/>
+    <accelerometer name="ac" site="s1"/>
+    <subtreecom name="sc" body="world"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_sensordata_matches_mujoco():
+  mjm = mujoco.MjModel.from_xml_string(XML)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(2)
+  mjd.qpos[:] = rng.standard_normal(mjm.nq) * 0.4
+  mjd.qvel[:] = rng.standard_normal(mjm.nv) * 0.5
+  mjd.ctrl[:] = [0.3]
+  mujoco.mj_forward(mjm, mjd)
+
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
+                ctrl=jnp.asarray(mjd.ctrl))
+  d = fwd.forward(m, d)
+  ours = np.asarray(sensors.sensordata(m, d))
+
+  # quaternion sign normalization for framequat
+  mj_sd = mjd.sensordata.copy()
+  fq_adr = mjm.sensor_adr[3]
+  if np.dot(ours[fq_adr:fq_adr + 4], mj_sd[fq_adr:fq_adr + 4]) < 0:
+    mj_sd[fq_adr:fq_adr + 4] *= -1
+
+  np.testing.assert_allclose(ours, mj_sd, atol=1e-8,
+                             err_msg=str(list(zip(ours, mj_sd))))
