@@ -111,6 +111,72 @@ def _limit_rows(m: Model, d: Data) -> Rows | None:
               jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives))
 
 
+def _contact_rows(m: Model, d: Data) -> Rows | None:
+  """Contact constraint rows from the static candidate pair list.
+
+  Pyramidal friction (MuJoCo default): condim-3 contacts contribute 4
+  one-sided rows J = Jn ± mu*Jt_i with diagApprox scaled by 2*(1+mu^2);
+  frictionless (condim 1) contribute the normal row. Validated numerically
+  against mjd.efc_* (tests/test_contacts.py).
+  """
+  from mujoco_mpc_tpu.physics import collision, smooth
+
+  if not m.collision_pairs:
+    return None
+  dtype = d.qpos.dtype
+  js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
+
+  for (g1, g2) in m.collision_pairs:
+    params = collision.pair_params(m, g1, g2)
+    points = collision.narrowphase(m, d, g1, g2)
+    if not points:
+      continue
+    b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+    mu = params.friction
+    for cp in points:
+      pos = cp.dist - params.includemargin
+      active = pos < 0.0
+      jacp1, _ = smooth._body_jac(m, d, b1, cp.pos)
+      jacp2, _ = smooth._body_jac(m, d, b2, cp.pos)
+      jp = jacp2 - jacp1                     # (nv, 3)
+      n = cp.normal
+      jn = jp @ n
+      k, b, imp = kbi(params.solref, params.solimp, pos)
+      k_imp = k * imp
+
+      if params.condim == 1:
+        rows = [(jn, 1.0 + 0.0 * mu)]
+        dapprox = params.invweight
+        dd = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
+        vel = jn @ d.qvel
+        js.append(jn)
+        poss.append(pos)
+        margins.append(params.includemargin)
+        arefs.append(-b * vel - k_imp * pos)
+        ds.append(dd)
+        actives.append(active)
+      else:
+        t1, t2 = collision._make_frame(n)
+        dapprox = params.invweight * 2.0 * (1.0 + mu * mu)
+        dd = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
+        for tvec in (t1, t2):
+          jt = jp @ tvec
+          for sign in (1.0, -1.0):
+            row = jn + sign * mu * jt
+            vel = row @ d.qvel
+            js.append(row)
+            poss.append(pos)
+            margins.append(params.includemargin)
+            arefs.append(-b * vel - k_imp * pos)
+            ds.append(dd)
+            actives.append(active)
+
+  if not js:
+    return None
+  return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
+              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives))
+
+
 def _concat_rows(blocks) -> Rows | None:
   blocks = [b for b in blocks if b is not None]
   if not blocks:
@@ -118,9 +184,9 @@ def _concat_rows(blocks) -> Rows | None:
   return Rows(*(jnp.concatenate(parts) for parts in zip(*blocks)))
 
 
-def make_rows(m: Model, d: Data, contact_rows: Rows | None = None):
-  """Assemble all constraint rows (limits now; contacts passed in)."""
-  return _concat_rows([_limit_rows(m, d), contact_rows])
+def make_rows(m: Model, d: Data):
+  """Assemble all constraint rows (joint limits + contacts)."""
+  return _concat_rows([_limit_rows(m, d), _contact_rows(m, d)])
 
 
 def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = 12,

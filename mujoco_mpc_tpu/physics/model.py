@@ -126,6 +126,10 @@ class Model:
   dof_parentid: Tuple[int, ...] = _static(())
   geom_type: Tuple[int, ...] = _static(())
   geom_bodyid: Tuple[int, ...] = _static(())
+  geom_condim: Tuple[int, ...] = _static(())
+  geom_priority: Tuple[int, ...] = _static(())
+  # static candidate collision pairs (geom1, geom2), prefiltered
+  collision_pairs: Tuple[Tuple[int, int], ...] = _static(())
   site_bodyid: Tuple[int, ...] = _static(())
   actuator_trntype: Tuple[int, ...] = _static(())
   actuator_dyntype: Tuple[int, ...] = _static(())
@@ -182,6 +186,9 @@ class Model:
   geom_solref: jax.Array = None     # (ngeom, 2)
   geom_solimp: jax.Array = None     # (ngeom, 5)
   geom_margin: jax.Array = None     # (ngeom,)
+  geom_gap: jax.Array = None        # (ngeom,)
+  geom_solmix: jax.Array = None     # (ngeom,)
+  body_invweight0: jax.Array = None  # (nbody, 2) [trans, rot]
   site_pos: jax.Array = None        # (nsite, 3)
   site_quat: jax.Array = None       # (nsite, 4)
   actuator_gear: jax.Array = None   # (nu, 6)
@@ -197,6 +204,7 @@ class Model:
   # keyframes
   key_qpos: jax.Array = None        # (nkey, nq)
   key_qvel: jax.Array = None        # (nkey, nv)
+  key_ctrl: jax.Array = None        # (nkey, nu)
 
   opt: Option = None
 
@@ -300,7 +308,9 @@ def _names(mj, adr_array, count, objtype=None) -> Tuple[str, ...]:
 def put_model(mj, dtype=jnp.float32) -> Model:
   """Compile a mujoco.MjModel into our device Model pytree."""
   t = lambda a: tuple(int(x) for x in np.asarray(a).reshape(-1))
-  f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+  # np.array(copy=True): jnp.asarray on CPU may zero-copy ALIAS the mujoco
+  # buffers, which mj_step then mutates under us
+  f = lambda a: jnp.asarray(np.array(a, dtype=np.float64), dtype=dtype)
 
   nv = mj.nv
   # dense ancestor mask from dof_parentid: mask[i, j] = j is ancestor-or-self
@@ -315,6 +325,36 @@ def put_model(mj, dtype=jnp.float32) -> Model:
   for g in range(mj.ngeom):
     geom_type.append(int(_SUPPORTED_GEOMS.get(int(mj.geom_type[g]),
                                               GeomType.OTHER)))
+
+  # static candidate collision pairs (analog: mj_collision broadphase +
+  # contype/conaffinity + parent filtering, computed once at compile time)
+  pairs = []
+  for g1 in range(mj.ngeom):
+    for g2 in range(g1 + 1, mj.ngeom):
+      b1, b2 = int(mj.geom_bodyid[g1]), int(mj.geom_bodyid[g2])
+      if b1 == b2:
+        continue
+      # parent filter (mjDSBL_FILTERPARENT default on; world parent exempt)
+      w1 = int(mj.body_weldid[b1])
+      w2 = int(mj.body_weldid[b2])
+      if w1 == w2:
+        continue
+      p1 = int(mj.body_weldid[mj.body_parentid[w1]])
+      p2 = int(mj.body_weldid[mj.body_parentid[w2]])
+      if (w1 != 0 and w2 != 0) and (p1 == w2 or p2 == w1):
+        continue
+      c1, a1 = int(mj.geom_contype[g1]), int(mj.geom_conaffinity[g1])
+      c2, a2 = int(mj.geom_contype[g2]), int(mj.geom_conaffinity[g2])
+      if not ((c1 & a2) or (c2 & a1)):
+        continue
+      t1 = _SUPPORTED_GEOMS.get(int(mj.geom_type[g1]), GeomType.OTHER)
+      t2 = _SUPPORTED_GEOMS.get(int(mj.geom_type[g2]), GeomType.OTHER)
+      # order so the lower-valued type comes first (plane first)
+      if t2 < t1:
+        g1o, g2o = g2, g1
+      else:
+        g1o, g2o = g1, g2
+      pairs.append((g1o, g2o))
 
   opt = Option(
       timestep=f(mj.opt.timestep),
@@ -345,6 +385,9 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       dof_parentid=t(mj.dof_parentid),
       geom_type=tuple(geom_type),
       geom_bodyid=t(mj.geom_bodyid),
+      geom_condim=t(mj.geom_condim),
+      geom_priority=t(mj.geom_priority),
+      collision_pairs=tuple(pairs),
       site_bodyid=t(mj.site_bodyid),
       actuator_trntype=t(mj.actuator_trntype),
       actuator_dyntype=t(mj.actuator_dyntype),
@@ -396,6 +439,9 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       geom_solref=f(mj.geom_solref),
       geom_solimp=f(mj.geom_solimp),
       geom_margin=f(mj.geom_margin),
+      geom_gap=f(mj.geom_gap),
+      geom_solmix=f(mj.geom_solmix),
+      body_invweight0=f(mj.body_invweight0),
       site_pos=f(mj.site_pos),
       site_quat=f(mj.site_quat),
       actuator_gear=f(mj.actuator_gear),
@@ -407,6 +453,7 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       dof_ancestor_mask=jnp.asarray(mask),
       key_qpos=f(mj.key_qpos) if mj.nkey else jnp.zeros((0, mj.nq), dtype),
       key_qvel=f(mj.key_qvel) if mj.nkey else jnp.zeros((0, mj.nv), dtype),
+      key_ctrl=f(mj.key_ctrl) if mj.nkey else jnp.zeros((0, mj.nu), dtype),
       opt=opt,
   )
 

@@ -32,6 +32,24 @@ def body_angvel(m: Model, d: Data, bodyid: int) -> jax.Array:
   return d.cvel[bodyid, :3]
 
 
+def subtree_linvel(m: Model, d: Data, bodyid: int) -> jax.Array:
+  """Mass-weighted average linear velocity of a body subtree
+  (analog: subtreelinvel sensor)."""
+  total_mass = 0.0
+  momentum = jnp.zeros(3, dtype=d.qpos.dtype)
+  for b in range(bodyid, m.nbody):
+    # descendant test: walk up the parent chain (static structure)
+    anc = b
+    while anc > 0 and anc != bodyid:
+      anc = m.body_parentid[anc]
+    if anc != bodyid and b != bodyid:
+      continue
+    v = point_velocity(m, d, b, d.xipos[b])
+    momentum = momentum + m.body_mass[b] * v
+    total_mass = total_mass + m.body_mass[b]
+  return momentum / jnp.maximum(total_mass, 1e-12)
+
+
 def get_state(d: Data) -> jax.Array:
   """Concatenated physics state (qpos, qvel, act), reference State order."""
   return jnp.concatenate([d.qpos, d.qvel, d.act])

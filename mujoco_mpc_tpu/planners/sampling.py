@@ -53,10 +53,16 @@ class SamplingConfig:
 
 def default_policy(spec: TaskSpec, num_points: int,
                    dtype=jnp.float32) -> SamplingPolicy:
+  """Initial plan: home-keyframe ctrl if defined, else zeros."""
   nu = spec.model.nu
+  if 'home' in spec.model.keyframe_names:
+    k = spec.model.keyframe_names.index('home')
+    u0 = spec.model.key_ctrl[k].astype(dtype)
+  else:
+    u0 = jnp.zeros(nu, dtype=dtype)
   return SamplingPolicy(
       times=jnp.linspace(0.0, 1.0, num_points).astype(dtype),
-      values=jnp.zeros((num_points, nu), dtype=dtype))
+      values=jnp.tile(u0, (num_points, 1)))
 
 
 def default_config(spec: TaskSpec, dtype=jnp.float32) -> SamplingConfig:

@@ -164,6 +164,63 @@ def _acrobot() -> base.TaskSpec:
 
 
 # ---------------------------------------------------------------------------
+# Walker (reference: mjpc/tasks/walker/walker.cc)
+# ---------------------------------------------------------------------------
+
+
+@register('Walker')
+def _walker() -> base.TaskSpec:
+  spec_model, _ = load_model(os.path.join(_MODELS_DIR, 'walker.xml'))
+  torso_site = spec_model.site('torso_site')
+  torso_body = spec_model.body('torso')
+
+  def residual(m, d, rp):
+    height = d.site_xpos[torso_site][2]
+    torso_up = d.xmat[torso_body][2, 2]
+    com_vel = support.subtree_linvel(m, d, torso_body)[0]
+    return jnp.concatenate([
+        d.ctrl,                                   # Control
+        jnp.stack([height - rp[0],                # Height (parameter 0)
+                   torso_up - 1.0,                # Rotation: stay upright
+                   com_vel - rp[1]]),             # Speed (parameter 1)
+    ])
+
+  return _build('Walker', 'walker.xml', residual)
+
+
+# ---------------------------------------------------------------------------
+# Quadrotor (reference: mjpc/tasks/quadrotor/quadrotor.cc)
+# ---------------------------------------------------------------------------
+
+
+@register('Quadrotor')
+def _quadrotor() -> base.TaskSpec:
+  spec_model, mjm = load_model(os.path.join(_MODELS_DIR, 'quadrotor.xml'))
+  center = spec_model.site('center')
+  quad = spec_model.body('quad')
+  goal_mocap = spec_model.body_mocapid[spec_model.body('goal')]
+  total_mass = float(np.sum(mjm.body_mass))
+  g = 9.81
+  hover = total_mass * g / 4.0
+
+  def residual(m, d, rp):
+    pos = d.site_xpos[center] - d.mocap_pos[goal_mocap]
+    linvel = support.point_velocity(m, d, quad, d.xipos[quad])
+    angvel = d.cvel[quad, :3]
+    return jnp.concatenate([pos, linvel, angvel, d.ctrl - hover])
+
+  def transition(m, d, params, key):
+    # circular waypoint path (the reference steps mocap through waypoints)
+    t = d.time
+    goal = jnp.stack([0.5 * jnp.cos(0.5 * t), 0.5 * jnp.sin(0.5 * t),
+                      1.0 + 0.2 * jnp.sin(0.25 * t)])
+    mocap = d.mocap_pos.at[goal_mocap].set(goal.astype(d.mocap_pos.dtype))
+    return d.replace(mocap_pos=mocap), params
+
+  return _build('Quadrotor', 'quadrotor.xml', residual, transition)
+
+
+# ---------------------------------------------------------------------------
 # Swimmer (reference: mjpc/tasks/swimmer/swimmer.cc)
 # ---------------------------------------------------------------------------
 

@@ -45,8 +45,8 @@ def test_inverse_dynamics_golden():
 
   m = put_model(mjm, dtype=DTYPE)
   d = make_data(m, dtype=DTYPE)
-  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
-                qacc=jnp.asarray(mjd.qacc))
+  d = d.replace(qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel),
+                qacc=jnp.array(mjd.qacc))
   d = inv_mod.inverse(m, d)
   np.testing.assert_allclose(d.qfrc_smooth, mjd.qfrc_inverse, atol=1e-9)
 

@@ -51,8 +51,8 @@ def test_sensordata_matches_mujoco():
 
   m = put_model(mjm, dtype=jnp.float64)
   d = make_data(m, dtype=jnp.float64)
-  d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
-                ctrl=jnp.asarray(mjd.ctrl))
+  d = d.replace(qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel),
+                ctrl=jnp.array(mjd.ctrl))
   d = fwd.forward(m, d)
   ours = np.asarray(sensors.sensordata(m, d))
 
