@@ -143,31 +143,49 @@ def synchronous_mpc(spec: TaskSpec, num_samples: int, total_steps: int,
 
 
 class Agent:
-  """Host-driven agent mirroring the reference Agent API surface."""
+  """Host-driven agent mirroring the reference Agent API surface
+  (agent.h:62-166): owns a task, a planner from the registry, current state,
+  and exposes plan-iteration / action / step / cost introspection."""
 
-  def __init__(self, spec: TaskSpec, num_samples: int = 128,
+  def __init__(self, spec: TaskSpec, num_samples: Optional[int] = None,
                interp: int = spline.Interp.ZERO,
-               num_spline_points: Optional[int] = None, seed: int = 0):
+               num_spline_points: Optional[int] = None, seed: int = 0,
+               planner_id: Optional[int] = None):
+    from mujoco_mpc_tpu.planners import registry as planner_registry
+
     self.spec = spec
-    self.num_samples = num_samples
     self.interp = int(interp)
     dtype = spec.model.qpos0.dtype
+    if planner_id is None:
+      planner_id = int(spec.config.get('agent_planner', 0))
+    if num_samples is None:
+      num_samples = int(spec.config.get('sampling_trajectories', 128))
+    self.planner_id = planner_id
+    self.num_samples = num_samples
     p = num_spline_points or int(spec.config.get('sampling_spline_points',
                                                  10))
-    self.policy = sampling.default_policy(spec, p, dtype=dtype)
-    self.params = spec.default_params
-    self.cfg = sampling.default_config(spec, dtype=dtype)
     self.horizon_steps = horizon_steps(spec)
+    self.planner = planner_registry.make_planner(
+        spec, planner_id, num_samples, self.horizon_steps, p,
+        interp=self.interp, dtype=dtype)
+    self.policy = self.planner.init()
+    self.params = spec.default_params
     self.plan_data = make_data(plan_model(spec), dtype=dtype)
     self.sim_data = make_data(spec.model, dtype=dtype)
+    if 'home' in spec.model.keyframe_names:
+      k = spec.model.keyframe_names.index('home')
+      self.sim_data = self.sim_data.replace(
+          qpos=spec.model.key_qpos[k].astype(dtype))
     self.key = jax.random.key(seed)
 
-    self._optimize = jax.jit(functools.partial(
-        sampling.optimize, spec, num_samples=self.num_samples,
-        horizon_steps=self.horizon_steps, interp=self.interp))
-    self._action = jax.jit(functools.partial(
-        sampling.action_from_policy, spec, interp=self.interp))
+    self._optimize = jax.jit(self.planner.optimize)
+    self._action = jax.jit(self.planner.action)
     self._step = jax.jit(functools.partial(fwd.step, spec.model))
+    if spec.transition_fn is not None:
+      self._transition = jax.jit(functools.partial(
+          spec.transition_fn, spec.model))
+    else:
+      self._transition = None
 
   # -- reference Agent::SetState -------------------------------------------
   def set_state(self, qpos=None, qvel=None, time=None, act=None,
@@ -192,14 +210,21 @@ class Agent:
   def plan_iteration(self):
     self.key, k = jax.random.split(self.key)
     plan_d = sync_plan_state(self.plan_data, self.sim_data)
-    self.policy, info = self._optimize(self.policy, plan_d, self.params,
-                                       self.cfg, k)
+    self.policy, info = self._optimize(self.policy, plan_d, self.params, k)
     return info
+
+  # -- reference Task::Transition ------------------------------------------
+  def transition(self):
+    if self._transition is not None:
+      self.key, k = jax.random.split(self.key)
+      self.sim_data, self.params = self._transition(
+          self.sim_data, self.params, k)
 
   # -- reference Agent::ActionFromPolicy -----------------------------------
   def action(self, time=None) -> jax.Array:
-    t = self.sim_data.time if time is None else time
-    return self._action(self.policy, t)
+    d = self.sim_data
+    t = d.time if time is None else time
+    return self._action(self.policy, d.qpos, d.qvel, d.act, t)
 
   # -- physics step with the policy action ---------------------------------
   def step(self):
