@@ -1,0 +1,226 @@
+"""Python client API: Agent / Filter / Direct over gRPC.
+
+Mirrors the reference Python clients (python/mujoco_mpc/{agent,filter,
+direct}.py): each client spawns the server subprocess on a free port,
+connects over localhost, and exposes the RPC surface as methods. Pass
+`server_process=False` (or an existing address) to attach to a running
+server.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import subprocess
+import sys
+from typing import Dict, Optional, Sequence
+
+import grpc
+import numpy as np
+
+from mujoco_mpc_tpu.rpc import agent_pb2, direct_pb2, filter_pb2
+from mujoco_mpc_tpu.rpc import agent_service, direct_service, filter_service
+from mujoco_mpc_tpu.rpc.service import ClientStub
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spawn_server(services: str):
+  env = dict(os.environ)
+  env.setdefault('PYTHONPATH', _REPO_ROOT)
+  proc = subprocess.Popen(
+      [sys.executable, '-m', 'mujoco_mpc_tpu.rpc.server', '--port', '0',
+       '--services', services],
+      stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+      cwd=_REPO_ROOT, env=env)
+  # wait for the ready line with the bound port
+  for line in proc.stdout:
+    if line.startswith('SERVER_READY'):
+      port = int(line.strip().split('port=')[1])
+      atexit.register(proc.terminate)
+      return proc, port
+  raise RuntimeError('server failed to start')
+
+
+class _BaseClient:
+  _SERVICES = 'agent,filter,direct'
+
+  def __init__(self, address: Optional[str] = None):
+    self._proc = None
+    if address is None:
+      self._proc, port = _spawn_server(self._SERVICES)
+      address = f'localhost:{port}'
+    self.channel = grpc.insecure_channel(address)
+    grpc.channel_ready_future(self.channel).result(timeout=30)
+
+  def close(self):
+    self.channel.close()
+    if self._proc is not None:
+      self._proc.terminate()
+      self._proc = None
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *args):
+    self.close()
+
+
+class Agent(_BaseClient):
+  """Agent client (reference: python/mujoco_mpc/agent.py:68-392)."""
+  _SERVICES = 'agent'
+
+  def __init__(self, task_id: str, planner_id: int = -1,
+               num_samples: int = 0, address: Optional[str] = None):
+    super().__init__(address)
+    self.stub = ClientStub(self.channel, agent_service.SERVICE_NAME,
+                           agent_service.METHODS)
+    self.stub.Init(agent_pb2.InitRequest(
+        task_id=task_id, planner_id=planner_id, num_samples=num_samples))
+
+  def set_state(self, qpos=None, qvel=None, act=None, time=None,
+                mocap_pos=None, mocap_quat=None, ctrl=None):
+    state = agent_pb2.State(
+        qpos=list(np.ravel(qpos)) if qpos is not None else [],
+        qvel=list(np.ravel(qvel)) if qvel is not None else [],
+        act=list(np.ravel(act)) if act is not None else [],
+        time=time or 0.0,
+        mocap_pos=list(np.ravel(mocap_pos)) if mocap_pos is not None else [],
+        mocap_quat=(list(np.ravel(mocap_quat))
+                    if mocap_quat is not None else []),
+        ctrl=list(np.ravel(ctrl)) if ctrl is not None else [])
+    self.stub.SetState(agent_pb2.SetStateRequest(state=state))
+
+  def get_state(self):
+    return self.stub.GetState(agent_pb2.GetStateRequest()).state
+
+  def planner_step(self):
+    r = self.stub.PlannerStep(agent_pb2.PlannerStepRequest())
+    return {'best_return': r.best_return, 'improvement': r.improvement}
+
+  def get_action(self, time: Optional[float] = None) -> np.ndarray:
+    req = agent_pb2.GetActionRequest(
+        time=time or 0.0, use_current_time=time is None)
+    return np.asarray(self.stub.GetAction(req).action)
+
+  def step(self):
+    return self.stub.Step(agent_pb2.StepRequest()).state
+
+  def reset(self):
+    self.stub.Reset(agent_pb2.ResetRequest())
+
+  def set_task_parameters(self, parameters: Dict[str, float]):
+    self.stub.SetTaskParameters(
+        agent_pb2.SetTaskParametersRequest(parameters=parameters))
+
+  def get_task_parameters(self) -> Dict[str, float]:
+    return dict(self.stub.GetTaskParameters(
+        agent_pb2.GetTaskParametersRequest()).parameters)
+
+  def set_cost_weights(self, weights: Dict[str, float]):
+    self.stub.SetCostWeights(
+        agent_pb2.SetCostWeightsRequest(cost_weights=weights))
+
+  def get_cost_term_values(self) -> Dict[str, float]:
+    r = self.stub.GetCostValuesAndWeights(
+        agent_pb2.GetCostValuesAndWeightsRequest())
+    return {k: v.value for k, v in r.values_weights.items()}
+
+  def get_residuals(self) -> np.ndarray:
+    return np.asarray(self.stub.GetResiduals(
+        agent_pb2.GetResidualsRequest()).residuals)
+
+  def get_total_cost(self) -> float:
+    return self.stub.GetTotalCost(
+        agent_pb2.GetTotalCostRequest()).total_cost
+
+  def get_task_list(self) -> Sequence[str]:
+    return list(self.stub.GetTaskList(
+        agent_pb2.GetTaskListRequest()).task_names)
+
+
+class Filter(_BaseClient):
+  """Filter client (reference: python/mujoco_mpc/filter.py:52-249)."""
+  _SERVICES = 'filter'
+
+  def __init__(self, task_id: str, estimator_id: int = 1,
+               address: Optional[str] = None):
+    super().__init__(address)
+    self.stub = ClientStub(self.channel, filter_service.SERVICE_NAME,
+                           filter_service.METHODS)
+    self.stub.Init(filter_pb2.FilterInitRequest(
+        task_id=task_id, estimator_id=estimator_id))
+
+  def update(self, ctrl, sensor):
+    self.stub.Update(filter_pb2.FilterUpdateRequest(
+        ctrl=list(np.ravel(ctrl)), sensor=list(np.ravel(sensor))))
+
+  def state(self):
+    r = self.stub.State(filter_pb2.FilterStateRequest())
+    return {'qpos': np.asarray(r.qpos), 'qvel': np.asarray(r.qvel),
+            'act': np.asarray(r.act), 'time': r.time}
+
+  def covariance(self) -> np.ndarray:
+    r = self.stub.Covariance(filter_pb2.FilterCovarianceRequest())
+    return np.asarray(r.covariance).reshape(r.dimension, r.dimension)
+
+  def noise(self, process=None, sensor=None):
+    r = self.stub.Noise(filter_pb2.FilterNoiseRequest(
+        process=list(np.ravel(process)) if process is not None else [],
+        sensor=list(np.ravel(sensor)) if sensor is not None else []))
+    return {'process': np.asarray(r.process), 'sensor': np.asarray(r.sensor)}
+
+  def reset(self):
+    self.stub.Reset(filter_pb2.FilterResetRequest())
+
+
+class Direct(_BaseClient):
+  """Direct client (reference: python/mujoco_mpc/direct.py:52-493)."""
+  _SERVICES = 'direct'
+
+  def __init__(self, task_id: str, configuration_length: int,
+               address: Optional[str] = None):
+    super().__init__(address)
+    self.stub = ClientStub(self.channel, direct_service.SERVICE_NAME,
+                           direct_service.METHODS)
+    self.stub.Init(direct_pb2.DirectInitRequest(
+        task_id=task_id, configuration_length=configuration_length))
+
+  def data(self, index, configuration=None, sensor_measurement=None,
+           force_measurement=None, time=None):
+    r = self.stub.Data(direct_pb2.DirectDataRequest(
+        index=index,
+        configuration=(list(np.ravel(configuration))
+                       if configuration is not None else []),
+        sensor_measurement=(list(np.ravel(sensor_measurement))
+                            if sensor_measurement is not None else []),
+        force_measurement=(list(np.ravel(force_measurement))
+                           if force_measurement is not None else []),
+        time=[time] if time is not None else []))
+    return {'configuration': np.asarray(r.configuration),
+            'sensor_measurement': np.asarray(r.sensor_measurement),
+            'force_measurement': np.asarray(r.force_measurement),
+            'time': r.time[0] if r.time else None}
+
+  def settings(self, sensor_weight=None, force_weight=None,
+               prior_weight=None, max_iterations=None):
+    self.stub.Settings(direct_pb2.DirectSettingsRequest(
+        sensor_weight=(list(np.ravel(sensor_weight))
+                       if sensor_weight is not None else []),
+        force_weight=(list(np.ravel(force_weight))
+                      if force_weight is not None else []),
+        prior_weight=prior_weight or 0.0,
+        max_iterations=max_iterations or 0))
+
+  def cost(self) -> float:
+    return self.stub.Cost(direct_pb2.DirectCostRequest()).total
+
+  def optimize(self):
+    r = self.stub.Optimize(direct_pb2.DirectOptimizeRequest())
+    return {'final_cost': r.final_cost,
+            'cost_trace': np.asarray(r.cost_trace)}
+
+  def status(self):
+    r = self.stub.Status(direct_pb2.DirectStatusRequest())
+    return {'configuration_length': r.configuration_length,
+            'initialized': r.initialized}

@@ -1,0 +1,90 @@
+"""gRPC layer tests: in-process service calls (reference pattern:
+grpc/agent_service_test.cc instantiates the service directly) plus one
+end-to-end subprocess client test."""
+
+import numpy as np
+import pytest
+
+from mujoco_mpc_tpu.rpc import agent_pb2, direct_pb2, filter_pb2
+from mujoco_mpc_tpu.rpc.agent_service import AgentService
+from mujoco_mpc_tpu.rpc.direct_service import DirectService
+from mujoco_mpc_tpu.rpc.filter_service import FilterService
+
+
+def test_agent_service_inprocess():
+  svc = AgentService()
+  svc.Init(agent_pb2.InitRequest(task_id='Cartpole', planner_id=0,
+                                 num_samples=15))
+  svc.SetState(agent_pb2.SetStateRequest(state=agent_pb2.State(
+      qpos=[0.5, 3.0], qvel=[0.0, 0.0])))
+  # PlannerStep produces a nonzero action (reference:
+  # agent_service_test.cc PlannerStep_ProducesNonzeroAction)
+  r = svc.PlannerStep(agent_pb2.PlannerStepRequest())
+  assert np.isfinite(r.best_return)
+  a = svc.GetAction(agent_pb2.GetActionRequest(use_current_time=True))
+  assert len(a.action) == 1
+  s = svc.Step(agent_pb2.StepRequest())
+  assert s.state.time > 0
+  svc.SetCostWeights(agent_pb2.SetCostWeightsRequest(
+      cost_weights={'Velocity': 0.33}))
+  cw = svc.GetCostValuesAndWeights(
+      agent_pb2.GetCostValuesAndWeightsRequest())
+  assert abs(cw.values_weights['Velocity'].weight - 0.33) < 1e-6
+  svc.SetTaskParameters(agent_pb2.SetTaskParametersRequest(
+      parameters={'Goal': 0.25}))
+  tp = svc.GetTaskParameters(agent_pb2.GetTaskParametersRequest())
+  assert abs(tp.parameters['Goal'] - 0.25) < 1e-6
+  res = svc.GetResiduals(agent_pb2.GetResidualsRequest())
+  assert len(res.residuals) == 4
+  tasks = svc.GetTaskList(agent_pb2.GetTaskListRequest())
+  assert 'Cartpole' in tasks.task_names
+  svc.Reset(agent_pb2.ResetRequest())
+  st = svc.GetState(agent_pb2.GetStateRequest())
+  assert st.state.time == 0.0
+
+
+def test_filter_service_inprocess():
+  svc = FilterService()
+  svc.Init(filter_pb2.FilterInitRequest(task_id='Cartpole',
+                                        estimator_id=1))
+  ns = svc.Noise(filter_pb2.FilterNoiseRequest())
+  assert len(ns.process) == 4   # ndx = 2*nv
+  svc.Update(filter_pb2.FilterUpdateRequest(
+      ctrl=[0.1], sensor=list(np.zeros(10))))
+  st = svc.State(filter_pb2.FilterStateRequest())
+  assert len(st.qpos) == 2
+  cov = svc.Covariance(filter_pb2.FilterCovarianceRequest())
+  assert cov.dimension == 4
+
+
+def test_direct_service_inprocess():
+  svc = DirectService()
+  svc.Init(direct_pb2.DirectInitRequest(task_id='Cartpole',
+                                        configuration_length=5))
+  st = svc.Status(direct_pb2.DirectStatusRequest())
+  assert st.configuration_length == 5 and st.initialized
+  for i in range(5):
+    svc.Data(direct_pb2.DirectDataRequest(
+        index=i, configuration=[0.1 * i, 0.0],
+        sensor_measurement=list(np.zeros(svc.problem.sensor_dim)),
+        force_measurement=[0.0, 0.0], time=[0.01 * i]))
+  c0 = svc.Cost(direct_pb2.DirectCostRequest()).total
+  r = svc.Optimize(direct_pb2.DirectOptimizeRequest())
+  assert r.final_cost <= c0 + 1e-9
+
+
+@pytest.mark.slow
+def test_end_to_end_client():
+  from mujoco_mpc_tpu import clients
+  with clients.Agent(task_id='ParticleFixed', num_samples=15) as agent:
+    tasks = agent.get_task_list()
+    assert 'ParticleFixed' in tasks
+    agent.set_state(qpos=[0.0, 0.0], qvel=[0.0, 0.0])
+    info = agent.planner_step()
+    assert np.isfinite(info['best_return'])
+    u = agent.get_action()
+    assert u.shape == (2,)
+    state = agent.step()
+    assert state.time > 0
+    cost = agent.get_total_cost()
+    assert np.isfinite(cost)
