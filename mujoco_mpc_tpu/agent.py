@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 from flax import struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.ops import spline
 from mujoco_mpc_tpu.physics import forward as fwd
@@ -150,7 +151,7 @@ class Agent:
   def __init__(self, spec: TaskSpec, num_samples: Optional[int] = None,
                interp: int = spline.Interp.ZERO,
                num_spline_points: Optional[int] = None, seed: int = 0,
-               planner_id: Optional[int] = None):
+               planner_id: Optional[int] = None, use_native_act: bool = True):
     from mujoco_mpc_tpu.planners import registry as planner_registry
 
     self.spec = spec
@@ -177,9 +178,27 @@ class Agent:
       self.sim_data = self.sim_data.replace(
           qpos=spec.model.key_qpos[k].astype(dtype))
     self.key = jax.random.key(seed)
+    # host-side mirror of sim time: the native act path must not pay a
+    # device->host readback per action query
+    self._host_time = 0.0
 
     self._optimize = jax.jit(self.planner.optimize)
     self._action = jax.jit(self.planner.action)
+
+    # native act path: serve spline-policy action queries from the C++
+    # runtime (reference: ActionFromPolicy on the physics thread,
+    # app.cc:84-102) instead of paying a JAX dispatch per control step.
+    # Only spline-backed policies (times/values leaves) are eligible.
+    self._native_policy = None
+    if use_native_act and hasattr(self.policy, 'times'):
+      try:
+        from mujoco_mpc_tpu import native
+        npol = native.NativePolicy(spec.model.nu, p, self.interp)
+        cr = np.asarray(spec.model.actuator_ctrlrange, dtype=np.float64)
+        npol.set_clamp(cr[:, 0], cr[:, 1])
+        self._native_policy = npol
+      except Exception:  # no toolchain: fall back to the JAX act path
+        self._native_policy = None
     self._step = jax.jit(functools.partial(fwd.step, spec.model))
     if spec.transition_fn is not None:
       self._transition = jax.jit(functools.partial(
@@ -200,6 +219,7 @@ class Agent:
       updates['act'] = jnp.asarray(act, dtype=d.qpos.dtype)
     if time is not None:
       updates['time'] = jnp.asarray(time, dtype=d.qpos.dtype)
+      self._host_time = float(time)
     if mocap_pos is not None:
       updates['mocap_pos'] = jnp.asarray(mocap_pos, dtype=d.qpos.dtype)
     if ctrl is not None:
@@ -211,6 +231,11 @@ class Agent:
     self.key, k = jax.random.split(self.key)
     plan_d = sync_plan_state(self.plan_data, self.sim_data)
     self.policy, info = self._optimize(self.policy, plan_d, self.params, k)
+    if self._native_policy is not None:
+      # swap the new plan into the C++ policy container (the reference's
+      # policy swap under shared_mutex, sampling/planner.cc:525-534)
+      self._native_policy.set_plan(np.asarray(self.policy.times),
+                                   np.asarray(self.policy.values))
     return info
 
   # -- reference Task::Transition ------------------------------------------
@@ -224,12 +249,18 @@ class Agent:
   def action(self, time=None) -> jax.Array:
     d = self.sim_data
     t = d.time if time is None else time
+    if self._native_policy is not None:
+      t_host = self._host_time if time is None else float(time)
+      # host numpy out: the act path serves host consumers (service loop,
+      # GUI); a device put here would cost a transfer per control step
+      return self._native_policy.action(t_host)
     return self._action(self.policy, d.qpos, d.qvel, d.act, t)
 
   # -- physics step with the policy action ---------------------------------
   def step(self):
-    u = self.action()
+    u = jnp.asarray(self.action(), dtype=self.sim_data.qpos.dtype)
     self.sim_data = self._step(self.sim_data.replace(ctrl=u))
+    self._host_time += float(self.spec.model.opt.timestep)
     return self.sim_data
 
   def cost_terms(self):

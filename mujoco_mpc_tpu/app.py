@@ -1,0 +1,172 @@
+"""Interactive / headless application loops.
+
+TPU-native analog of the reference GUI application threads
+(/root/reference/mjpc/app.cc): a physics loop stepping in (scaled) real
+time, an asynchronous plan loop continuously replanning from the latest
+state snapshot, and an optional `mujoco.viewer` passive window for
+rendering. The reference couples its loops with mutexes over shared mjData;
+here the Agent owns device state and the loops exchange only tiny host
+values (time floats, numpy actions from the native policy container).
+
+Threads (reference app.cc:464-503):
+  physics thread  -- real-time-synced stepping, control noise injection
+  plan thread     -- continuous PlanIteration (agent.cc:318-329)
+  render (main)   -- optional mujoco.viewer passive sync
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from mujoco_mpc_tpu import agent as agent_mod
+from mujoco_mpc_tpu.tasks import registry
+from mujoco_mpc_tpu.utils import profiler as profiler_mod
+
+
+class OrnsteinUhlenbeckNoise:
+  """Exploration/control noise injection (reference app.cc:292-304)."""
+
+  def __init__(self, nu: int, std: float, rate: float = 0.9,
+               seed: int = 0):
+    self.std = std
+    self.rate = rate
+    self.state = np.zeros(nu)
+    self.rng = np.random.RandomState(seed)
+
+  def sample(self) -> np.ndarray:
+    self.state = (self.rate * self.state +
+                  np.sqrt(1 - self.rate ** 2) *
+                  self.rng.randn(*self.state.shape) * self.std)
+    return self.state
+
+
+class App:
+  """Plan/act application around one Agent."""
+
+  def __init__(self, task: str, planner_id: Optional[int] = None,
+               num_samples: Optional[int] = None,
+               percent_realtime: float = 100.0,
+               ctrl_noise_std: float = 0.0, seed: int = 0):
+    self.spec = registry.get_task(task)
+    self.agent = agent_mod.Agent(self.spec, num_samples=num_samples,
+                                 planner_id=planner_id, seed=seed)
+    self.percent_realtime = percent_realtime
+    self.timers = profiler_mod.PhaseTimers()
+    self.noise = (OrnsteinUhlenbeckNoise(self.spec.model.nu, ctrl_noise_std,
+                                         seed=seed)
+                  if ctrl_noise_std > 0 else None)
+    self._exit = threading.Event()
+    self._plan_enabled = threading.Event()
+    self._plan_enabled.set()
+    self._steps = 0
+    self._plan_iterations = 0
+    self._state_lock = threading.Lock()
+
+  # -- plan thread (reference Agent::Plan, agent.cc:318-329) ---------------
+  def _plan_loop(self):
+    while not self._exit.is_set():
+      if not self._plan_enabled.is_set():
+        time.sleep(0.001)
+        continue
+      with self.timers.phase('plan_iteration'):
+        with self._state_lock:
+          self.agent.plan_iteration()
+        self._plan_iterations += 1
+
+  # -- physics thread (reference PhysicsLoop, app.cc:209-386) --------------
+  def _physics_loop(self, duration: float):
+    dt = float(self.spec.model.opt.timestep)
+    scale = max(self.percent_realtime, 1e-3) / 100.0
+    start_wall = time.perf_counter()
+    sim_time = 0.0
+    while not self._exit.is_set() and sim_time < duration:
+      with self.timers.phase('physics_step'):
+        with self._state_lock:
+          self.agent.transition()
+          if self.noise is not None:
+            u = np.asarray(self.agent.action(), dtype=np.float64)
+            u = u + self.noise.sample()
+            self.agent.set_state(ctrl=u)
+          self.agent.step()
+        self._steps += 1
+        sim_time += dt
+      # real-time sync (app.cc:306-362): sleep until wall clock catches up
+      target_wall = start_wall + sim_time / scale
+      lag = target_wall - time.perf_counter()
+      if lag > 0:
+        time.sleep(lag)
+
+  def run(self, duration: float = 5.0, render: bool = False):
+    """Run plan+physics loops for `duration` sim seconds."""
+    plan_thread = threading.Thread(target=self._plan_loop, daemon=True)
+    phys_thread = threading.Thread(target=self._physics_loop,
+                                   args=(duration,), daemon=True)
+    plan_thread.start()
+    phys_thread.start()
+
+    if render:
+      self._render_loop(phys_thread)
+    phys_thread.join()
+    self._exit.set()
+    plan_thread.join(timeout=5.0)
+    return self.metrics()
+
+  # -- render (main thread; reference sim->RenderLoop) ---------------------
+  def _render_loop(self, phys_thread):
+    try:
+      import mujoco
+      import mujoco.viewer
+    except Exception:
+      return
+    mjm = self.spec.mj_model
+    mjd = mujoco.MjData(mjm)
+    with mujoco.viewer.launch_passive(mjm, mjd) as viewer:
+      while viewer.is_running() and phys_thread.is_alive():
+        with self._state_lock:
+          qpos = np.asarray(self.agent.sim_data.qpos)
+          mocap = np.asarray(self.agent.sim_data.mocap_pos)
+        mjd.qpos[:] = qpos
+        if mjm.nmocap:
+          mjd.mocap_pos[:] = mocap
+        mujoco.mj_forward(mjm, mjd)
+        viewer.sync()
+        time.sleep(1.0 / 60.0)
+
+  def metrics(self):
+    snap = self.timers.snapshot()
+    return {
+        'steps': self._steps,
+        'plan_iterations': self._plan_iterations,
+        'timers': snap,
+    }
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description='TPU MPC application')
+  parser.add_argument('--task', default='Cartpole',
+                      choices=list(registry.task_names()))
+  parser.add_argument('--planner', type=int, default=None)
+  parser.add_argument('--samples', type=int, default=None)
+  parser.add_argument('--duration', type=float, default=5.0)
+  parser.add_argument('--percent_realtime', type=float, default=100.0)
+  parser.add_argument('--ctrl_noise_std', type=float, default=0.0)
+  parser.add_argument('--render', action='store_true')
+  args = parser.parse_args(argv)
+
+  app = App(args.task, planner_id=args.planner, num_samples=args.samples,
+            percent_realtime=args.percent_realtime,
+            ctrl_noise_std=args.ctrl_noise_std)
+  metrics = app.run(duration=args.duration, render=args.render)
+  plan_mean = metrics['timers'].get('plan_iteration', {}).get('mean_s', 0)
+  print(f"steps={metrics['steps']} plans={metrics['plan_iterations']} "
+        f"plan_mean_s={plan_mean:.4f}")
+  return metrics
+
+
+if __name__ == '__main__':
+  main()

@@ -158,6 +158,22 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
       # _sphere_box normal points box->sphere = g2->g1; flip
       return [ContactPoint(c.dist, c.pos, -c.normal) for c in pts]
     return []
+  if t1 == GeomType.BOX and t2 == GeomType.BOX:
+    # corner-point approximation: each box's vertices tested against the
+    # other box (sufficient for stacking/insertion between axis-scale
+    # boxes; full SAT clipping is a follow-up)
+    pts = []
+    corners = jnp.array([[sx, sy, sz] for sx in (-1., 1.)
+                         for sy in (-1., 1.) for sz in (-1., 1.)],
+                        dtype=p1.dtype)
+    for c in corners:
+      v2 = p2 + m2 @ (c * s2)           # corner of box2 in world
+      sub = _sphere_box(v2, 0.0, p1, m1, s1)
+      pts.extend(sub)                   # normal already points box1->corner
+      v1 = p1 + m1 @ (c * s1)           # corner of box1 in world
+      sub = _sphere_box(v1, 0.0, p2, m2, s2)
+      pts.extend(ContactPoint(q.dist, q.pos, -q.normal) for q in sub)
+    return pts
   if t1 == GeomType.CAPSULE:
     if t2 == GeomType.CAPSULE:
       q1, q2 = _segment_closest(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])

@@ -329,10 +329,18 @@ def put_model(mj, dtype=jnp.float32) -> Model:
   # static candidate collision pairs (analog: mj_collision broadphase +
   # contype/conaffinity + parent filtering, computed once at compile time)
   pairs = []
+  # <contact><exclude> body pairs (signature = (body1<<16) + body2)
+  excluded = set()
+  for e in range(mj.nexclude):
+    sig = int(mj.exclude_signature[e])
+    excluded.add((sig >> 16, sig & 0xFFFF))
+    excluded.add((sig & 0xFFFF, sig >> 16))
   for g1 in range(mj.ngeom):
     for g2 in range(g1 + 1, mj.ngeom):
       b1, b2 = int(mj.geom_bodyid[g1]), int(mj.geom_bodyid[g2])
       if b1 == b2:
+        continue
+      if (b1, b2) in excluded:
         continue
       # parent filter (mjDSBL_FILTERPARENT default on; world parent exempt)
       w1 = int(mj.body_weldid[b1])

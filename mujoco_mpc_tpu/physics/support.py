@@ -50,6 +50,49 @@ def subtree_linvel(m: Model, d: Data, bodyid: int) -> jax.Array:
   return momentum / jnp.maximum(total_mass, 1e-12)
 
 
+def _descendants(m: Model, bodyid: int):
+  """Static list of bodies in the subtree rooted at bodyid."""
+  out = []
+  for b in range(bodyid, m.nbody):
+    anc = b
+    while anc > 0 and anc != bodyid:
+      anc = m.body_parentid[anc]
+    if anc == bodyid or b == bodyid:
+      out.append(b)
+  return out
+
+
+def subtree_mass(m: Model, bodyid: int) -> jax.Array:
+  total = jnp.zeros((), dtype=m.body_mass.dtype)
+  for b in _descendants(m, bodyid):
+    total = total + m.body_mass[b]
+  return total
+
+
+def subtree_angmom(m: Model, d: Data, bodyid: int) -> jax.Array:
+  """Angular momentum of a subtree about its center of mass
+  (analog: subtreeangmom sensor / mj_subtreeVel, used by the quadruped
+  and humanoid Angmom cost terms, reference quadruped.cc)."""
+  bodies = _descendants(m, bodyid)
+  com = jnp.zeros(3, dtype=d.qpos.dtype)
+  total = jnp.zeros((), dtype=d.qpos.dtype)
+  for b in bodies:
+    com = com + m.body_mass[b] * d.xipos[b]
+    total = total + m.body_mass[b]
+  com = com / jnp.maximum(total, 1e-12)
+  h = jnp.zeros(3, dtype=d.qpos.dtype)
+  for b in bodies:
+    v = point_velocity(m, d, b, d.xipos[b])
+    w = d.cvel[b, :3]
+    # orbital term: m * (r - com) x v
+    h = h + m.body_mass[b] * jnp.cross(d.xipos[b] - com, v)
+    # spin term: R * I_body * R^T * w  (inertia in the ximat frame)
+    inertia = jnp.asarray(m.body_inertia[b], dtype=d.qpos.dtype)
+    R = d.ximat[b]
+    h = h + R @ (inertia * (R.T @ w))
+  return h
+
+
 def get_state(d: Data) -> jax.Array:
   """Concatenated physics state (qpos, qvel, act), reference State order."""
   return jnp.concatenate([d.qpos, d.qvel, d.act])
