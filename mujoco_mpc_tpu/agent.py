@@ -181,6 +181,9 @@ class Agent:
     # host-side mirror of sim time: the native act path must not pay a
     # device->host readback per action query
     self._host_time = 0.0
+    self._plots = {'time': [], 'cost_terms': [], 'total_cost': [],
+                   'action': []}
+    self._best_traj_fn = None
 
     self._optimize = jax.jit(self.planner.optimize)
     self._action = jax.jit(self.planner.action)
@@ -263,11 +266,58 @@ class Agent:
     self._host_time += float(self.spec.model.opt.timestep)
     return self.sim_data
 
+  # -- reference Planner::BestTrajectory ------------------------------------
+  def best_trajectory(self):
+    """Roll out the current policy from the current state: (states
+    (T, nq+nv+na), actions (T, nu), costs (T,))."""
+    if self._best_traj_fn is None:
+      m = self.spec.model
+      spec = self.spec
+
+      def run(policy, d, params):
+        def body(dd, _):
+          u = self.planner.action(policy, dd.qpos, dd.qvel, dd.act, dd.time)
+          dd = dd.replace(ctrl=u)
+          dd = fwd.forward(m, dd)
+          res = spec.residual_fn(m, dd, params.residual_params)
+          c = spec.cost(res, params)
+          state = jnp.concatenate([dd.qpos, dd.qvel, dd.act])
+          dd = fwd.integrate(m, dd)
+          return dd, (state, u, c)
+
+        _, (states, actions, costs) = jax.lax.scan(
+            body, d, None, length=self.horizon_steps)
+        return states, actions, costs
+
+      self._best_traj_fn = jax.jit(run)
+    return self._best_traj_fn(self.policy, self.sim_data, self.params)
+
   def cost_terms(self):
     m = self.spec.model
     d = fwd.forward(m, self.sim_data)
     res = self.spec.residual_fn(m, d, self.params.residual_params)
     return self.spec.cost_terms(res, self.params)
+
+  # -- plot traces (reference AgentPlots, agent.h:38-43: GUI figures of
+  # cost terms / actions over time; here a bounded host-side history) -----
+  def record_plots(self, max_len: int = 512):
+    terms = np.asarray(self.cost_terms())
+    self._plots['time'].append(float(self._host_time))
+    self._plots['cost_terms'].append(terms)
+    self._plots['total_cost'].append(float(terms.sum()))
+    self._plots['action'].append(np.asarray(self.action()))
+    for k in self._plots:
+      if len(self._plots[k]) > max_len:
+        del self._plots[k][:-max_len]
+
+  def plots(self):
+    return {
+        'term_names': self.spec.term_names,
+        'time': list(self._plots['time']),
+        'cost_terms': [t.tolist() for t in self._plots['cost_terms']],
+        'total_cost': list(self._plots['total_cost']),
+        'action': [a.tolist() for a in self._plots['action']],
+    }
 
   def set_cost_weights(self, weights_by_name):
     w = self.params.weights

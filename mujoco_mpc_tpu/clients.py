@@ -98,9 +98,22 @@ class Agent(_BaseClient):
     r = self.stub.PlannerStep(agent_pb2.PlannerStepRequest())
     return {'best_return': r.best_return, 'improvement': r.improvement}
 
-  def get_action(self, time: Optional[float] = None) -> np.ndarray:
+  def best_trajectory(self):
+    r = self.stub.GetBestTrajectory(agent_pb2.GetBestTrajectoryRequest())
+    return {'states': np.asarray(r.states).reshape(r.horizon, r.nstate),
+            'actions': np.asarray(r.actions).reshape(r.horizon, r.naction),
+            'costs': np.asarray(r.costs)}
+
+  def set_mocap(self, pos=None, quat=None):
+    self.stub.SetMocap(agent_pb2.SetMocapRequest(
+        pos=list(np.ravel(pos)) if pos is not None else [],
+        quat=list(np.ravel(quat)) if quat is not None else []))
+
+  def get_action(self, time: Optional[float] = None,
+                 averaging_duration: float = 0.0) -> np.ndarray:
     req = agent_pb2.GetActionRequest(
-        time=time or 0.0, use_current_time=time is None)
+        time=time or 0.0, use_current_time=time is None,
+        averaging_duration=averaging_duration)
     return np.asarray(self.stub.GetAction(req).action)
 
   def step(self):

@@ -81,7 +81,7 @@ def bimanual_xml(model_name: str, objects: str, sensors: str) -> str:
   return f"""<mujoco model="{model_name}">
   <!-- Original bimanual workcell (generated, models/bimanual.py):
        capability parity with reference mjpc/tasks/bimanual/. -->
-  <option timestep="0.004" gravity="0 0 -9.81"/>
+  <option timestep="0.004" gravity="0 0 -9.81" iterations="6"/>
 
   <custom>
     <numeric name="agent_planner" data="0"/>

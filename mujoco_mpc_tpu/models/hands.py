@@ -67,7 +67,7 @@ def hand_xml(model_name: str, n_fingers: int, cube_size: float = 0.03,
   return f"""<mujoco model="{model_name}">
   <!-- Original dexterous hand (generated, models/hands.py): capability
        parity with the reference hand tasks on an original model. -->
-  <option timestep="0.004" gravity="0 0 -9.81"/>
+  <option timestep="0.004" gravity="0 0 -9.81" iterations="8"/>
 
   <custom>
     <numeric name="agent_planner" data="0"/>

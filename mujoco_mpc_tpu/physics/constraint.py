@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_mpc_tpu.ops import linalg
+from mujoco_mpc_tpu.ops import pallas_linalg
 from mujoco_mpc_tpu.physics.model import Data, JointType, Model
 
 _MIN_IMP, _MAX_IMP = 0.0001, 0.9999
@@ -118,13 +119,23 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
   one-sided rows J = Jn ± mu*Jt_i with diagApprox scaled by 2*(1+mu^2);
   frictionless (condim 1) contribute the normal row. Validated numerically
   against mjd.efc_* (tests/test_contacts.py).
+
+  Assembly is point-stacked: per-point normals/tangent Jacobians are
+  stacked into (P, nv) tensors FIRST and the 4 friction rows are expanded
+  with one broadcast op. Building rows one-by-one leaves ~rows separate
+  (batch, 1, nv) temporaries alive inside the Newton while_loop, each
+  padded to (8, 128) tiles — a 146x memory expansion that OOMed the
+  Shadow-hand planner at 8192 samples.
   """
   from mujoco_mpc_tpu.physics import collision, smooth
 
   if not m.collision_pairs:
     return None
   dtype = d.qpos.dtype
-  js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
+
+  # per-point gathers, grouped by condim (static structure)
+  g1_jn, g1_scal = [], []   # frictionless: (jn, (pos, margin, k_imp, b, imp, dapprox))
+  g3_jn, g3_jt1, g3_jt2, g3_scal, g3_mu = [], [], [], [], []
 
   for (g1, g2) in m.collision_pairs:
     params = collision.pair_params(m, g1, g2)
@@ -135,46 +146,54 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
     mu = params.friction
     for cp in points:
       pos = cp.dist - params.includemargin
-      active = pos < 0.0
       jacp1, _ = smooth._body_jac(m, d, b1, cp.pos)
       jacp2, _ = smooth._body_jac(m, d, b2, cp.pos)
       jp = jacp2 - jacp1                     # (nv, 3)
       n = cp.normal
       jn = jp @ n
       k, b, imp = kbi(params.solref, params.solimp, pos)
-      k_imp = k * imp
-
       if params.condim == 1:
-        rows = [(jn, 1.0 + 0.0 * mu)]
-        dapprox = params.invweight
-        dd = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
-        vel = jn @ d.qvel
-        js.append(jn)
-        poss.append(pos)
-        margins.append(params.includemargin)
-        arefs.append(-b * vel - k_imp * pos)
-        ds.append(dd)
-        actives.append(active)
+        dapprox = params.invweight + 0.0 * mu
+        g1_jn.append(jn)
+        g1_scal.append(jnp.stack([pos, params.includemargin + 0.0 * pos,
+                                  k * imp, b, imp, dapprox]))
       else:
         t1, t2 = collision._make_frame(n)
         dapprox = params.invweight * 2.0 * (1.0 + mu * mu)
-        dd = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
-        for tvec in (t1, t2):
-          jt = jp @ tvec
-          for sign in (1.0, -1.0):
-            row = jn + sign * mu * jt
-            vel = row @ d.qvel
-            js.append(row)
-            poss.append(pos)
-            margins.append(params.includemargin)
-            arefs.append(-b * vel - k_imp * pos)
-            ds.append(dd)
-            actives.append(active)
+        g3_jn.append(jn)
+        g3_jt1.append(jp @ t1)
+        g3_jt2.append(jp @ t2)
+        g3_mu.append(mu + 0.0 * pos)
+        g3_scal.append(jnp.stack([pos, params.includemargin + 0.0 * pos,
+                                  k * imp, b, imp, dapprox]))
 
-  if not js:
-    return None
-  return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
-              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives))
+  blocks = []
+  if g1_jn:
+    jmat = jnp.stack(g1_jn)                          # (P1, nv)
+    sc = jnp.stack(g1_scal)                          # (P1, 6)
+    pos, margin, k_imp, b, imp, dapprox = (sc[:, 0], sc[:, 1], sc[:, 2],
+                                           sc[:, 3], sc[:, 4], sc[:, 5])
+    vel = jmat @ d.qvel
+    blocks.append(Rows(jmat, pos, margin, -b * vel - k_imp * pos,
+                       imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12),
+                       pos < 0.0))
+  if g3_jn:
+    jn = jnp.stack(g3_jn)                            # (P3, nv)
+    jt1 = jnp.stack(g3_jt1)
+    jt2 = jnp.stack(g3_jt2)
+    mu = jnp.stack(g3_mu)[:, None]                   # (P3, 1)
+    sc = jnp.stack(g3_scal)                          # (P3, 6)
+    # 4 pyramidal rows per point in one broadcast: jn ± mu*jt{1,2}
+    jmat = jnp.concatenate([jn + mu * jt1, jn - mu * jt1,
+                            jn + mu * jt2, jn - mu * jt2])  # (4*P3, nv)
+    sc4 = jnp.tile(sc, (4, 1))
+    pos, margin, k_imp, b, imp, dapprox = (sc4[:, 0], sc4[:, 1], sc4[:, 2],
+                                           sc4[:, 3], sc4[:, 4], sc4[:, 5])
+    vel = jmat @ d.qvel
+    blocks.append(Rows(jmat, pos, margin, -b * vel - k_imp * pos,
+                       imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12),
+                       pos < 0.0))
+  return _concat_rows(blocks)
 
 
 def _concat_rows(blocks) -> Rows | None:
@@ -189,16 +208,23 @@ def make_rows(m: Model, d: Data):
   return _concat_rows([_limit_rows(m, d), _contact_rows(m, d)])
 
 
-def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = 12,
-          tolerance: float = 1e-8) -> Data:
+def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
+          tolerance: float = None) -> Data:
   """Primal Newton solve for qacc given constraint rows.
 
-  Converges in 1-3 iterations for planner models (piecewise quadratic cost,
-  exact Newton); the while_loop exits as soon as the gradient is small so
-  the common no-active-constraint case costs a single iteration. All linear
-  algebra uses the unrolled small-matrix kernels (ops/linalg.py).
+  Converges in a few iterations (piecewise quadratic cost, exact Newton)
+  and exits on a scaled gradient test. Under vmap the while_loop runs until
+  the WORST sample converges, so batched planning models bound the cost
+  with a small static cap (Model.opt.iterations, from the MJCF
+  <option iterations/>); estimation/golden paths keep the MuJoCo default
+  of 100 and exit early. All linear algebra uses the unrolled small-matrix
+  kernels (ops/linalg.py).
   """
   qacc_smooth = d.qacc
+  if max_iterations is None:
+    max_iterations = m.opt.iterations
+  if tolerance is None:
+    tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
   if rows is None:
     return d.replace(
         qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype))
@@ -232,7 +258,13 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = 12,
     w = jnp.where(jar < 0, dvec, 0.0)
     h = qm + (j_mat.T * w) @ j_mat
     h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
-    step = linalg.solve_spd(h, g)
+    # SPD solve: vmapped call sites dispatch the fused lane-batched Pallas
+    # kernel (ops/pallas_linalg.py); custom_linear_solve keeps autodiff on
+    # the implicit-function rule instead of differentiating the kernel
+    step = jax.lax.custom_linear_solve(
+        lambda v: h @ v, g,
+        solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
+        symmetric=True)
 
     c0 = cost(qacc)
     alphas = jnp.array([1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
@@ -240,13 +272,12 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = 12,
     costs = jax.vmap(cost)(cands)
     best = jnp.argmin(costs)
     qacc_new = jnp.where(costs[best] < c0, cands[best], qacc)
-    # Newton-step-size stopping criterion (scale of qacc itself)
+    # Newton-step-size convergence test (scale of qacc itself)
     done = (jnp.linalg.norm(step)
             <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
     return (qacc_new, it + 1, done)
 
-  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32),
-          jnp.array(False))
+  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32), jnp.array(False))
   qacc, _, _ = jax.lax.while_loop(cond, body, init)
   f = force(qacc)
   qfrc_constraint = j_mat.T @ f

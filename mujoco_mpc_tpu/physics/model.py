@@ -91,6 +91,10 @@ class Option:
   density: jax.Array
   viscosity: jax.Array
   integrator: int = _static(int(IntegratorType.EULER))
+  # constraint-solver iteration cap (MJCF <option iterations=.../>). Static:
+  # under vmap the Newton while_loop runs until the WORST sample converges,
+  # so batched planning models set a small explicit cap in their XML.
+  iterations: int = _static(100)
 
 
 @struct.dataclass
@@ -371,6 +375,7 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       density=f(mj.opt.density),
       viscosity=f(mj.opt.viscosity),
       integrator=int(mj.opt.integrator),
+      iterations=int(mj.opt.iterations),
   )
 
   return Model(

@@ -33,6 +33,9 @@ METHODS = {
     'GetResiduals': (pb.GetResidualsRequest, pb.GetResidualsResponse),
     'GetTotalCost': (pb.GetTotalCostRequest, pb.GetTotalCostResponse),
     'GetTaskList': (pb.GetTaskListRequest, pb.GetTaskListResponse),
+    'GetBestTrajectory': (pb.GetBestTrajectoryRequest,
+                          pb.GetBestTrajectoryResponse),
+    'SetMocap': (pb.SetMocapRequest, pb.SetMocapResponse),
 }
 
 
@@ -112,8 +115,40 @@ class AgentService:
   def GetAction(self, request, context=None):
     time = None if request.use_current_time or request.time == 0 else \
         request.time
-    u = self.agent.action(time)
+    if request.averaging_duration > 0:
+      # average the policy over [t, t+duration] (reference:
+      # grpc_agent_util action averaging semantics)
+      t0 = self.agent._host_time if time is None else float(time)
+      npts = 10
+      ts = np.linspace(t0, t0 + request.averaging_duration, npts)
+      us = np.stack([np.asarray(self.agent.action(float(t))) for t in ts])
+      u = us.mean(axis=0)
+    else:
+      u = self.agent.action(time)
     return pb.GetActionResponse(action=np.asarray(u).tolist())
+
+  def GetBestTrajectory(self, request, context=None):
+    states, actions, costs = self.agent.best_trajectory()
+    states = np.asarray(states)
+    actions = np.asarray(actions)
+    return pb.GetBestTrajectoryResponse(
+        states=states.reshape(-1).tolist(),
+        actions=actions.reshape(-1).tolist(),
+        costs=np.asarray(costs).reshape(-1).tolist(),
+        horizon=states.shape[0], nstate=states.shape[1],
+        naction=actions.shape[1])
+
+  def SetMocap(self, request, context=None):
+    d = self.agent.sim_data
+    updates = {}
+    if request.pos:
+      updates['mocap_pos'] = jnp.asarray(
+          np.asarray(request.pos).reshape(-1, 3), dtype=d.qpos.dtype)
+    if request.quat:
+      updates['mocap_quat'] = jnp.asarray(
+          np.asarray(request.quat).reshape(-1, 4), dtype=d.qpos.dtype)
+    self.agent.sim_data = d.replace(**updates)
+    return pb.SetMocapResponse()
 
   def Step(self, request, context=None):
     self.agent.transition()

@@ -88,3 +88,28 @@ def test_end_to_end_client():
     assert state.time > 0
     cost = agent.get_total_cost()
     assert np.isfinite(cost)
+
+
+def test_best_trajectory_and_mocap_rpcs():
+  """GetBestTrajectory / SetMocap / action averaging (reference:
+  agent.proto GetBestTrajectory, SetAnything mocap, GetAction averaging)."""
+  from mujoco_mpc_tpu.rpc import agent_pb2, agent_service
+  svc = agent_service.AgentService()
+  svc.Init(agent_pb2.InitRequest(task_id='ParticleFixed', planner_id=-1,
+                                 num_samples=8))
+  svc.PlannerStep(agent_pb2.PlannerStepRequest())
+  r = svc.GetBestTrajectory(agent_pb2.GetBestTrajectoryRequest())
+  assert r.horizon > 0 and r.nstate > 0 and r.naction > 0
+  assert len(r.states) == r.horizon * r.nstate
+  assert len(r.actions) == r.horizon * r.naction
+  import numpy as np
+  assert np.all(np.isfinite(np.asarray(r.costs)))
+
+  svc.SetMocap(agent_pb2.SetMocapRequest(pos=[0.1, 0.2, 0.0]))
+  st = svc.GetState(agent_pb2.GetStateRequest()).state
+  np.testing.assert_allclose(np.asarray(st.mocap_pos), [0.1, 0.2, 0.0])
+
+  # averaging returns a different (smoothed) action than the instant query
+  ua = svc.GetAction(agent_pb2.GetActionRequest(
+      use_current_time=True, averaging_duration=0.5)).action
+  assert len(ua) == r.naction
