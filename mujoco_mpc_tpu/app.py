@@ -51,7 +51,9 @@ class App:
   def __init__(self, task: str, planner_id: Optional[int] = None,
                num_samples: Optional[int] = None,
                percent_realtime: float = 100.0,
-               ctrl_noise_std: float = 0.0, seed: int = 0):
+               ctrl_noise_std: float = 0.0, seed: int = 0,
+               estimator: Optional[str] = None,
+               sensor_noise_std: float = 0.0):
     self.spec = registry.get_task(task)
     self.agent = agent_mod.Agent(self.spec, num_samples=num_samples,
                                  planner_id=planner_id, seed=seed)
@@ -60,6 +62,34 @@ class App:
     self.noise = (OrnsteinUhlenbeckNoise(self.spec.model.nu, ctrl_noise_std,
                                          seed=seed)
                   if ctrl_noise_std > 0 else None)
+    # estimator-in-the-loop (reference EstimatorLoop, app.cc:151-206):
+    # the filter consumes noisy sensors + ctrl each step and its state
+    # estimate becomes the planner's initial state
+    self.estimator = estimator
+    self.sensor_noise_std = sensor_noise_std
+    self._est_state = None
+    if estimator in ('ekf', 'ukf'):
+      import functools
+      import jax
+      import jax.numpy as jnp
+      from mujoco_mpc_tpu.estimators import base as est_base
+      from mujoco_mpc_tpu.estimators import kalman, unscented
+      from mujoco_mpc_tpu.physics import sensors as sensors_mod
+      from mujoco_mpc_tpu.physics import forward as fwd_mod
+      m = self.spec.model
+      template = self.agent.sim_data
+      self._est_state = est_base.init_state(m, dtype=m.qpos0.dtype)
+      self._est_state = self._est_state.replace(
+          qpos=self.agent.sim_data.qpos)
+      upd = kalman.update if estimator == 'ekf' else unscented.update
+      self._est_update = jax.jit(functools.partial(upd, m, template))
+
+      def read_sensors(d):
+        d = fwd_mod.forward(m, d)
+        return sensors_mod.sensordata(m, d)
+
+      self._read_sensors = jax.jit(read_sensors)
+      self._est_rng = np.random.RandomState(seed + 1)
     self._exit = threading.Event()
     self._plan_enabled = threading.Event()
     self._plan_enabled.set()
@@ -93,6 +123,8 @@ class App:
             u = u + self.noise.sample()
             self.agent.set_state(ctrl=u)
           self.agent.step()
+          if self._est_state is not None:
+            self._estimator_update()
         self._steps += 1
         sim_time += dt
       # real-time sync (app.cc:306-362): sleep until wall clock catches up
@@ -101,19 +133,48 @@ class App:
       if lag > 0:
         time.sleep(lag)
 
-  def run(self, duration: float = 5.0, render: bool = False):
-    """Run plan+physics loops for `duration` sim seconds."""
+  # -- estimator update (reference EstimatorLoop) --------------------------
+  def _estimator_update(self):
+    import jax.numpy as jnp
+    with self.timers.phase('estimator_update'):
+      d = self.agent.sim_data
+      y = np.asarray(self._read_sensors(d))
+      if self.sensor_noise_std > 0:
+        y = y + self._est_rng.randn(*y.shape) * self.sensor_noise_std
+      self._est_state = self._est_update(
+          self._est_state, d.ctrl, jnp.asarray(y, dtype=d.qpos.dtype))
+
+  def estimate(self):
+    """Latest filter state (qpos, qvel)."""
+    s = self._est_state
+    return (np.asarray(s.qpos), np.asarray(s.qvel)) if s is not None else None
+
+  def run(self, duration: float = 5.0, render: bool = False,
+          serve_port: Optional[int] = None):
+    """Run plan+physics loops for `duration` sim seconds.
+
+    serve_port: also expose the agent over gRPC from inside the running
+    app (reference: ui_agent_server — async planning, shared agent)."""
     plan_thread = threading.Thread(target=self._plan_loop, daemon=True)
     phys_thread = threading.Thread(target=self._physics_loop,
                                    args=(duration,), daemon=True)
     plan_thread.start()
     phys_thread.start()
 
+    server = None
+    if serve_port is not None:
+      from mujoco_mpc_tpu.rpc import agent_service, service
+      svc = agent_service.UiAgentService(self)
+      server, self.serve_port = service.serve(
+          [agent_service.handlers(svc)], port=serve_port)
+
     if render:
       self._render_loop(phys_thread)
     phys_thread.join()
     self._exit.set()
     plan_thread.join(timeout=5.0)
+    if server is not None:
+      server.stop(grace=0.5)
     return self.metrics()
 
   # -- render (main thread; reference sim->RenderLoop) ---------------------
@@ -156,12 +217,21 @@ def main(argv=None):
   parser.add_argument('--percent_realtime', type=float, default=100.0)
   parser.add_argument('--ctrl_noise_std', type=float, default=0.0)
   parser.add_argument('--render', action='store_true')
+  parser.add_argument('--estimator', choices=['ekf', 'ukf'], default=None,
+                      help='run a filter in the loop (reference '
+                           'EstimatorLoop)')
+  parser.add_argument('--sensor_noise_std', type=float, default=0.0)
+  parser.add_argument('--serve_port', type=int, default=None,
+                      help='also serve the agent gRPC API from inside the '
+                           'running app (reference: ui_agent_server)')
   args = parser.parse_args(argv)
 
   app = App(args.task, planner_id=args.planner, num_samples=args.samples,
             percent_realtime=args.percent_realtime,
-            ctrl_noise_std=args.ctrl_noise_std)
-  metrics = app.run(duration=args.duration, render=args.render)
+            ctrl_noise_std=args.ctrl_noise_std, estimator=args.estimator,
+            sensor_noise_std=args.sensor_noise_std)
+  metrics = app.run(duration=args.duration, render=args.render,
+                    serve_port=args.serve_port)
   plan_mean = metrics['timers'].get('plan_iteration', {}).get('mean_s', 0)
   print(f"steps={metrics['steps']} plans={metrics['plan_iterations']} "
         f"plan_mean_s={plan_mean:.4f}")

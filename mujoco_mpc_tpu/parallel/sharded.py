@@ -88,3 +88,75 @@ def optimize_sharded(spec: TaskSpec, policy: sampling.SamplingPolicy,
       'improvement': jnp.maximum(nominal_return - best_return, 0.0),
   }
   return new_policy, info
+
+
+def optimize_cem_sharded(spec: TaskSpec, state, d0: Data,
+                         params: TaskParams, cfg, key: jax.Array,
+                         num_samples: int, n_elite: int, horizon_steps: int,
+                         interp: int, mesh: Mesh):
+  """One Cross-Entropy iteration with the sample axis sharded over a mesh.
+
+  The elite statistics are the reference's "mean over elites" reduction
+  (cross_entropy/planner.cc:227-262, SURVEY.md section 5.8) expressed as
+  collectives: returns are all_gather'd (tiny: one scalar per candidate),
+  elite membership is decided replicated, and elite mean/variance are
+  psum'd masked local sums — no device ever materializes the full
+  candidate set.
+  """
+  from mujoco_mpc_tpu.planners import cross_entropy as cem
+
+  n_dev = mesh.devices.size
+  assert num_samples % n_dev == 0, (num_samples, n_dev)
+  local = num_samples // n_dev
+  n_elite = min(n_elite, num_samples)
+
+  scfg = sampling.SamplingConfig(
+      noise_std=cfg.std_initial, noise_std2=jnp.zeros_like(cfg.std_initial),
+      timestep=cfg.timestep, horizon_time=cfg.horizon_time)
+  nominal = sampling.resample_nominal(spec, state.policy, d0.time,
+                                      horizon_steps, scfg, interp)
+  lo = spec.model.actuator_ctrlrange[:, 0]
+  hi = spec.model.actuator_ctrlrange[:, 1]
+  std = jnp.maximum(jnp.sqrt(state.variance), cfg.std_min)
+  keys = jax.random.split(key, n_dev)
+
+  def shard_fn(keys_shard):
+    k = keys_shard[0]
+    d_local = jax.tree.map(lambda x: jax.lax.pcast(x, AXIS, to='varying'),
+                           d0)
+    eps = jax.random.normal(k, (local,) + nominal.values.shape,
+                            dtype=nominal.values.dtype)
+    cands = jnp.clip(nominal.values[None] + eps * std[None], lo, hi)
+    rets = sampling.rollout_candidates(
+        spec, d_local, nominal.times, cands, params, horizon_steps, scfg,
+        interp)
+    # replicated elite threshold from the gathered return vector
+    all_rets = jax.lax.all_gather(rets, AXIS).reshape(-1)  # (num_samples,)
+    neg_top, _ = jax.lax.top_k(-all_rets, n_elite)
+    thresh = -neg_top[-1]
+    # masked local elite statistics -> global psum
+    is_elite = rets <= thresh                              # (local,)
+    wsum = jax.lax.psum(jnp.sum(is_elite), AXIS)
+    mask = is_elite.astype(cands.dtype)[:, None, None]
+    local_sum = jnp.sum(cands * mask, axis=0)
+    elite_mean = jax.lax.psum(local_sum, AXIS) / jnp.maximum(wsum, 1)
+    local_sq = jnp.sum(((cands - elite_mean[None]) ** 2) * mask, axis=0)
+    elite_var = jax.lax.psum(local_sq, AXIS) / jnp.maximum(wsum - 1, 1)
+    best = -neg_top[0]
+    avg = jnp.mean(-neg_top)
+    return (elite_mean[None], elite_var[None], best[None], avg[None])
+
+  shard = jax.shard_map(
+      shard_fn, mesh=mesh, in_specs=P(AXIS),
+      out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)), check_vma=False)
+  mean_all, var_all, best_all, avg_all = shard(keys)
+  new_state = cem.CEMState(
+      policy=sampling.SamplingPolicy(times=nominal.times,
+                                     values=mean_all[0]),
+      variance=var_all[0])
+  info = {
+      'best_return': best_all[0],
+      'elite_avg_return': avg_all[0],
+      'improvement': jnp.maximum(avg_all[0] - best_all[0], 0.0),
+  }
+  return new_state, info

@@ -248,14 +248,15 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
     return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
 
   def cond(carry):
-    qacc, it, done = carry
+    qacc, it, done, _ = carry
     return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
 
   def body(carry):
-    qacc, it, _ = carry
+    qacc, it, _, prev_exact = carry
     g = grad(qacc)
     jar = j_mat @ qacc - rows.aref
-    w = jnp.where(jar < 0, dvec, 0.0)
+    active = jar < 0
+    w = jnp.where(active, dvec, 0.0)
     h = qm + (j_mat.T * w) @ j_mat
     h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
     # SPD solve: vmapped call sites dispatch the fused lane-batched Pallas
@@ -272,13 +273,23 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
     costs = jax.vmap(cost)(cands)
     best = jnp.argmin(costs)
     qacc_new = jnp.where(costs[best] < c0, cands[best], qacc)
-    # Newton-step-size convergence test (scale of qacc itself)
-    done = (jnp.linalg.norm(step)
-            <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
-    return (qacc_new, it + 1, done)
+    # convergence: the cost is piecewise quadratic in qacc, so once the
+    # full Newton step is taken with an unchanged active set, qacc_new is
+    # the KKT point of the convex problem up to the tiny Hessian damping
+    # (which matters for ill-conditioned mass matrices). TWO consecutive
+    # stable-active-set full steps leave only O(damping^2) error — exit
+    # then, or on a small step (truncated-step fallback).
+    new_active = (j_mat @ qacc_new - rows.aref) < 0
+    exact = jnp.logical_and(best == 0,
+                            jnp.all(new_active == active))
+    small = (jnp.linalg.norm(step)
+             <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
+    done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
+    return (qacc_new, it + 1, done, exact)
 
-  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32), jnp.array(False))
-  qacc, _, _ = jax.lax.while_loop(cond, body, init)
+  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32), jnp.array(False),
+          jnp.array(False))
+  qacc, _, _, _ = jax.lax.while_loop(cond, body, init)
   f = force(qacc)
   qfrc_constraint = j_mat.T @ f
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

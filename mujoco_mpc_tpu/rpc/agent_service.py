@@ -202,3 +202,34 @@ class AgentService:
 
 def handlers(impl: AgentService):
   return service.make_handlers(SERVICE_NAME, METHODS, impl)
+
+
+class UiAgentService(AgentService):
+  """Agent service bound to a live application agent (reference:
+  grpc/ui_agent_service.{h,cc}: the same proto served from inside the
+  running GUI, with planning driven asynchronously by the app's plan
+  thread rather than by PlannerStep RPCs)."""
+
+  def __init__(self, app):
+    super().__init__()
+    self._app = app
+    self.agent = app.agent
+
+  def Init(self, request, context=None):
+    # the app owns the task/agent lifecycle; Init is a no-op handshake
+    return pb.InitResponse()
+
+  def PlannerStep(self, request, context=None):
+    # planning runs continuously on the app's plan thread: wait for the
+    # next completed iteration instead of running one synchronously
+    import time as _time
+    start = self._app._plan_iterations
+    deadline = _time.time() + 10.0
+    while self._app._plan_iterations == start and _time.time() < deadline:
+      _time.sleep(0.002)
+    return pb.PlannerStepResponse(best_return=float('nan'),
+                                  improvement=0.0)
+
+  def Step(self, request, context=None):
+    # the physics loop owns stepping; report the current state
+    return pb.StepResponse(state=self.GetState(None).state)

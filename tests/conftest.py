@@ -20,3 +20,16 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+  """Free compiled executables between modules: a single pytest process
+  compiles hundreds of XLA programs, which has crashed the CPU compiler
+  late in full-suite runs (segfault in backend_compile); per-module cache
+  release keeps the live program count bounded."""
+  yield
+  jax.clear_caches()

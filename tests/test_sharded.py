@@ -66,3 +66,42 @@ def test_sharded_matches_single_device_winner_quality():
   # nominal return must agree exactly (same rollout engine)
   np.testing.assert_allclose(float(info_s['nominal_return']),
                              float(info_v['nominal_return']), rtol=1e-5)
+
+
+def test_sharded_cem_matches_elite_semantics():
+  """Sharded CEM: elite stats via psum match the single-device refit."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.parallel import sharded
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.planners import cross_entropy as cem
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('ParticleFixed')
+  mesh = sharded.make_mesh()
+  cfg = cem.default_config(spec)
+  state = cem.default_state(spec, 5, cfg)
+  d0 = make_data(spec.model)
+  t_steps = min(agent_mod.horizon_steps(spec), 8)
+
+  @jax.jit
+  def step(state, key):
+    return sharded.optimize_cem_sharded(
+        spec, state, d0, spec.default_params, cfg, key, num_samples=16,
+        n_elite=4, horizon_steps=t_steps, interp=0, mesh=mesh)
+
+  key = jax.random.key(0)
+  s1, info = step(state, key)
+  assert np.isfinite(float(info['best_return']))
+  assert np.all(np.isfinite(np.array(s1.policy.values)))
+  assert np.all(np.array(s1.variance) >= 0)
+  # elite average >= best (they are returns of the same elite set)
+  assert float(info['elite_avg_return']) >= float(info['best_return']) - 1e-6
+
+  # improvement over several iterations on the particle task
+  s = s1
+  for i in range(4):
+    s, info = step(s, jax.random.fold_in(key, i))
+  assert float(info['best_return']) < 1e3
