@@ -330,3 +330,27 @@ class Agent:
     idx = self.spec.residual_param_names.index(name)
     rp = self.params.residual_params.at[idx].set(value)
     self.params = self.params.replace(residual_params=rp)
+
+  # -- task modes (reference Agent::SetModeByName, agent.cc:421-448; modes
+  # here are the task's first `select_*` residual parameter, the analog of
+  # the reference's residual_select_ GUI dropdowns) -----------------------
+  def _mode_param(self):
+    for name in self.spec.residual_param_names:
+      if name.startswith('select_'):
+        return name
+    return None
+
+  def set_mode(self, mode: int):
+    name = self._mode_param()
+    if name is None:
+      if mode != 0:
+        raise ValueError(f'task {self.spec.name!r} has no modes')
+      return
+    self.set_task_parameter(name, float(mode))
+
+  def mode(self) -> int:
+    name = self._mode_param()
+    if name is None:
+      return 0
+    idx = self.spec.residual_param_names.index(name)
+    return int(round(float(np.asarray(self.params.residual_params)[idx])))

@@ -10,6 +10,7 @@ server.
 from __future__ import annotations
 
 import atexit
+import dataclasses
 import os
 import subprocess
 import sys
@@ -64,6 +65,17 @@ class _BaseClient:
 
   def __exit__(self, *args):
     self.close()
+
+
+@dataclasses.dataclass
+class MjpcParameters:
+  """Bundle of task configuration applied in one call (reference:
+  python/mujoco_mpc/mjpc_parameters.py:16-24)."""
+  mode: Optional[int] = None
+  task_parameters: Dict[str, float] = dataclasses.field(default_factory=dict)
+  cost_weights: Dict[str, float] = dataclasses.field(default_factory=dict)
+  mocap_pos: Optional[np.ndarray] = None
+  mocap_quat: Optional[np.ndarray] = None
 
 
 class Agent(_BaseClient):
@@ -150,6 +162,23 @@ class Agent(_BaseClient):
   def get_task_list(self) -> Sequence[str]:
     return list(self.stub.GetTaskList(
         agent_pb2.GetTaskListRequest()).task_names)
+
+  def set_mode(self, mode: int):
+    self.stub.SetMode(agent_pb2.SetModeRequest(mode=mode))
+
+  def get_mode(self) -> int:
+    return self.stub.GetMode(agent_pb2.GetModeRequest()).mode
+
+  def apply_parameters(self, params: MjpcParameters):
+    """Apply an MjpcParameters bundle (reference Agent usage pattern)."""
+    if params.mode is not None:
+      self.set_mode(params.mode)
+    if params.task_parameters:
+      self.set_task_parameters(params.task_parameters)
+    if params.cost_weights:
+      self.set_cost_weights(params.cost_weights)
+    if params.mocap_pos is not None or params.mocap_quat is not None:
+      self.set_mocap(pos=params.mocap_pos, quat=params.mocap_quat)
 
 
 class Filter(_BaseClient):

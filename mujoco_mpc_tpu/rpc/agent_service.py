@@ -36,6 +36,8 @@ METHODS = {
     'GetBestTrajectory': (pb.GetBestTrajectoryRequest,
                           pb.GetBestTrajectoryResponse),
     'SetMocap': (pb.SetMocapRequest, pb.SetMocapResponse),
+    'SetMode': (pb.SetModeRequest, pb.SetModeResponse),
+    'GetMode': (pb.GetModeRequest, pb.GetModeResponse),
 }
 
 
@@ -194,6 +196,13 @@ class AgentService:
   def GetTotalCost(self, request, context=None):
     return pb.GetTotalCostResponse(
         total_cost=float(np.asarray(self.agent.cost_terms()).sum()))
+
+  def SetMode(self, request, context=None):
+    self.agent.set_mode(request.mode)
+    return pb.SetModeResponse()
+
+  def GetMode(self, request, context=None):
+    return pb.GetModeResponse(mode=self.agent.mode())
 
   def GetTaskList(self, request, context=None):
     from mujoco_mpc_tpu.tasks import registry

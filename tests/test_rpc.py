@@ -113,3 +113,28 @@ def test_best_trajectory_and_mocap_rpcs():
   ua = svc.GetAction(agent_pb2.GetActionRequest(
       use_current_time=True, averaging_duration=0.5)).action
   assert len(ua) == r.naction
+
+
+def test_mode_rpcs_and_parameter_bundle():
+  """SetMode/GetMode map to the task's select_* parameter (reference:
+  Agent::SetModeByName, agent.cc:421-448; modes are residual_select_
+  dropdowns). Quadruped's mode selects the gait."""
+  svc = AgentService()
+  svc.Init(agent_pb2.InitRequest(task_id='Quadruped Flat', planner_id=0,
+                                 num_samples=4))
+  assert svc.GetMode(agent_pb2.GetModeRequest()).mode >= 0
+  svc.SetMode(agent_pb2.SetModeRequest(mode=2))
+  assert svc.GetMode(agent_pb2.GetModeRequest()).mode == 2
+
+  # tasks without modes: mode is 0 and only 0 is settable
+  svc2 = AgentService()
+  svc2.Init(agent_pb2.InitRequest(task_id='Cartpole', planner_id=0,
+                                  num_samples=4))
+  assert svc2.GetMode(agent_pb2.GetModeRequest()).mode == 0
+  svc2.SetMode(agent_pb2.SetModeRequest(mode=0))
+
+  # MjpcParameters bundles the same fields as the reference dataclass
+  from mujoco_mpc_tpu.clients import MjpcParameters
+  p = MjpcParameters(mode=1, task_parameters={'Goal': 0.1},
+                     cost_weights={'Velocity': 0.5})
+  assert p.mode == 1 and p.mocap_pos is None
