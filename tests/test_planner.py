@@ -105,3 +105,25 @@ def test_agent_api():
   ag.set_cost_weights({'Velocity': 0.2})
   ag.set_task_parameter('Goal', 0.5)
   assert float(ag.params.weights[2]) == np.float32(0.2)
+
+
+def test_vmapped_multi_instance_mpc():
+  """The entire synchronous MPC loop vmaps over initial states in one jit
+  (reference: mjx/multi_plan.ipynb:174-188 vmaps mpc_rollout)."""
+  import jax
+  spec = registry.get_task('ParticleFixed')
+  from mujoco_mpc_tpu.physics.model import make_data
+  d0 = make_data(spec.model)
+  starts = jnp.asarray([[0.1, 0.1], [-0.2, 0.15]], dtype=d0.qpos.dtype)
+  sims0 = jax.vmap(lambda q: d0.replace(qpos=q))(starts)
+
+  def run_one(sim0, key):
+    carry, costs = agent_mod.synchronous_mpc(
+        spec, num_samples=8, total_steps=10, steps_per_plan=5,
+        key=key, sim0=sim0)
+    return carry.sim.qpos, costs
+
+  keys = jax.random.split(jax.random.key(0), 2)
+  qpos, costs = jax.jit(jax.vmap(run_one))(sims0, keys)
+  assert qpos.shape == (2, 2) and costs.shape == (2, 10)
+  assert bool(jnp.all(jnp.isfinite(costs)))
