@@ -230,15 +230,31 @@ class Agent:
     self.sim_data = d.replace(**updates)
 
   # -- reference Agent::PlanIteration --------------------------------------
-  def plan_iteration(self):
+  # Split into snapshot / optimize / install so callers with a physics
+  # thread can hold their state lock only around the (cheap) snapshot and
+  # install, with the long device optimize outside the lock — the
+  # reference's brief mutex around the state copy (agent.cc:283-290).
+  def snapshot_plan_inputs(self):
+    """Snapshot (policy, plan state, params, rng) for one plan iteration."""
     self.key, k = jax.random.split(self.key)
     plan_d = sync_plan_state(self.plan_data, self.sim_data)
-    self.policy, info = self._optimize(self.policy, plan_d, self.params, k)
+    return self.policy, plan_d, self.params, k
+
+  def plan_from(self, policy, plan_d, params, k):
+    """Run the optimizer on a snapshot (no agent state touched)."""
+    return self._optimize(policy, plan_d, params, k)
+
+  def install_policy(self, policy):
+    """Install a newly optimized policy (the reference's policy swap
+    under shared_mutex, sampling/planner.cc:525-534)."""
+    self.policy = policy
     if self._native_policy is not None:
-      # swap the new plan into the C++ policy container (the reference's
-      # policy swap under shared_mutex, sampling/planner.cc:525-534)
-      self._native_policy.set_plan(np.asarray(self.policy.times),
-                                   np.asarray(self.policy.values))
+      self._native_policy.set_plan(np.asarray(policy.times),
+                                   np.asarray(policy.values))
+
+  def plan_iteration(self):
+    policy, info = self.plan_from(*self.snapshot_plan_inputs())
+    self.install_policy(policy)
     return info
 
   # -- reference Task::Transition ------------------------------------------
@@ -260,8 +276,12 @@ class Agent:
     return self._action(self.policy, d.qpos, d.qvel, d.act, t)
 
   # -- physics step with the policy action ---------------------------------
-  def step(self):
-    u = jnp.asarray(self.action(), dtype=self.sim_data.qpos.dtype)
+  def step(self, ctrl=None):
+    """Step the sim under the policy action, or an explicit `ctrl`
+    override (used by the app to inject control noise into the applied
+    action, reference app.cc:292-304)."""
+    u = self.action() if ctrl is None else ctrl
+    u = jnp.asarray(u, dtype=self.sim_data.qpos.dtype)
     self.sim_data = self._step(self.sim_data.replace(ctrl=u))
     self._host_time += float(self.spec.model.opt.timestep)
     return self.sim_data

@@ -104,8 +104,15 @@ class App:
         time.sleep(0.001)
         continue
       with self.timers.phase('plan_iteration'):
+        # hold the state lock only around the snapshot and the policy
+        # install; the long device optimize runs unlocked so the physics
+        # thread keeps stepping (reference: brief mutex around the state
+        # copy, agent.cc:283-290)
         with self._state_lock:
-          self.agent.plan_iteration()
+          inputs = self.agent.snapshot_plan_inputs()
+        policy, _ = self.agent.plan_from(*inputs)
+        with self._state_lock:
+          self.agent.install_policy(policy)
         self._plan_iterations += 1
 
   # -- physics thread (reference PhysicsLoop, app.cc:209-386) --------------
@@ -119,10 +126,13 @@ class App:
         with self._state_lock:
           self.agent.transition()
           if self.noise is not None:
+            # inject noise into the APPLIED action (reference
+            # app.cc:292-304): pass the noisy ctrl through step() so the
+            # policy action does not overwrite it
             u = np.asarray(self.agent.action(), dtype=np.float64)
-            u = u + self.noise.sample()
-            self.agent.set_state(ctrl=u)
-          self.agent.step()
+            self.agent.step(ctrl=u + self.noise.sample())
+          else:
+            self.agent.step()
           if self._est_state is not None:
             self._estimator_update()
         self._steps += 1
@@ -155,6 +165,12 @@ class App:
 
     serve_port: also expose the agent over gRPC from inside the running
     app (reference: ui_agent_server — async planning, shared agent)."""
+    # warm start: run (and compile) one plan iteration before the loops
+    # begin so physics always acts on a valid plan and the async loops run
+    # at steady-state rates from the first step
+    with self.timers.phase('plan_iteration'):
+      self.agent.plan_iteration()
+      self._plan_iterations += 1
     plan_thread = threading.Thread(target=self._plan_loop, daemon=True)
     phys_thread = threading.Thread(target=self._physics_loop,
                                    args=(duration,), daemon=True)

@@ -6,14 +6,16 @@ runtime: the low-latency spline policy container used on the act path
 mjpc/planners/sampling/planner.cc:525-534) and the worker thread pool
 (reference: mjpc/threadpool.{h,cc}).
 
-The shared library is compiled on demand with g++ and cached next to the
-source; if no toolchain is available the callers fall back to the JAX
+The shared library is always compiled from the reviewed source into a
+content-hash-keyed cache directory (no prebuilt binaries are shipped or
+trusted); if no toolchain is available the callers fall back to the JAX
 implementations.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,21 +24,32 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), 'native', 'mjpc_tpu_runtime.cc')
-_LIB_PATH = os.path.join(os.path.dirname(_SRC), 'libmjpc_tpu_runtime.so')
 
 _lib = None
 _lib_lock = threading.Lock()
 
 
 def _build_library() -> str:
-  """Compile the runtime if the cached .so is missing or stale."""
-  if (os.path.exists(_LIB_PATH)
-      and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
-    return _LIB_PATH
+  """Compile the runtime into a source-hash-keyed cache path.
+
+  The cache key is the source content hash, so a stale or foreign .so can
+  never be picked up and edits always trigger a rebuild."""
+  with open(_SRC, 'rb') as f:
+    digest = hashlib.sha256(f.read()).hexdigest()[:16]
+  cache_dir = os.path.join(
+      os.environ.get('XDG_CACHE_HOME',
+                     os.path.join(os.path.expanduser('~'), '.cache')),
+      'mjpc_tpu')
+  os.makedirs(cache_dir, exist_ok=True)
+  lib_path = os.path.join(cache_dir, f'libmjpc_tpu_runtime-{digest}.so')
+  if os.path.exists(lib_path):
+    return lib_path
+  tmp_path = lib_path + f'.tmp{os.getpid()}'
   cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
-         _SRC, '-o', _LIB_PATH]
+         _SRC, '-o', tmp_path]
   subprocess.run(cmd, check=True, capture_output=True)
-  return _LIB_PATH
+  os.replace(tmp_path, lib_path)
+  return lib_path
 
 
 def load_library():
@@ -94,7 +107,6 @@ class NativePolicy:
     self.nu = nu
     self.num_points = num_points
     self._h = self._lib.mtpu_create_policy(nu, num_points, int(interp))
-    self._out = np.zeros(nu, dtype=np.float64)
 
   def set_plan(self, times, values):
     t = np.ascontiguousarray(times, dtype=np.float64)
@@ -112,8 +124,11 @@ class NativePolicy:
     self._lib.mtpu_set_clamp(self._h, _as_double_ptr(lo), _as_double_ptr(hi))
 
   def action(self, t: float) -> np.ndarray:
-    self._lib.mtpu_action(self._h, float(t), _as_double_ptr(self._out))
-    return self._out.copy()
+    # fresh output buffer per call: the physics thread and gRPC handlers
+    # may query concurrently, and a shared buffer could return torn vectors
+    out = np.empty(self.nu, dtype=np.float64)
+    self._lib.mtpu_action(self._h, float(t), _as_double_ptr(out))
+    return out
 
   def actions(self, ts) -> np.ndarray:
     ts = np.ascontiguousarray(ts, dtype=np.float64)

@@ -173,7 +173,12 @@ class ThreadPool {
         queue_.pop();
       }
       task();
-      count_.fetch_add(1);
+      {
+        // Increment under wait_m_ so the increment cannot land between a
+        // waiter's predicate check and its block (missed-wakeup race).
+        std::lock_guard<std::mutex> lk(wait_m_);
+        count_.fetch_add(1);
+      }
       wait_cv_.notify_all();
     }
   }
