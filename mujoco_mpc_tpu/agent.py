@@ -13,6 +13,7 @@ API surface as the reference for interactive and service use.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -45,10 +46,21 @@ def plan_model(spec: TaskSpec) -> Model:
   """Planning model: task model with the agent_timestep."""
   ts = spec.config.get('agent_timestep', None)
   m = spec.model
-  if ts is None:
+  if ts is None or float(ts) == float(m.opt.timestep):
     return m
   return m.replace(opt=m.opt.replace(
       timestep=jnp.asarray(ts, dtype=m.qpos0.dtype)))
+
+
+def plan_spec(spec: TaskSpec) -> TaskSpec:
+  """Spec whose model integrates at agent_timestep: ALL planner rollouts
+  must use this, not spec.model — the reference plans at agent_timestep
+  while the sim runs at the model timestep (agent.cc:279-280; exposed by
+  the reference cartpole config: model dt 0.001, agent_timestep 0.01)."""
+  pm = plan_model(spec)
+  if pm is spec.model:
+    return spec
+  return dataclasses.replace(spec, model=pm)
 
 
 def sync_plan_state(plan_d: Data, sim_d: Data) -> Data:
@@ -72,8 +84,8 @@ def make_mpc_step(spec: TaskSpec, num_samples: int, steps_per_plan: int,
                   planner_iterations: int = 1):
   """Build the jittable plan-and-step body for synchronous MPC."""
   t_steps = horizon_steps(spec)
-  pm_spec = spec  # planning uses the task model (timestep override below)
-  pmodel = plan_model(spec)
+  pspec = plan_spec(spec)   # planner rollouts integrate at agent_timestep
+  pmodel = pspec.model
   sim_model = spec.model
 
   def plan_and_step(carry: MpcCarry, _) -> Tuple[MpcCarry, dict]:
@@ -87,12 +99,11 @@ def make_mpc_step(spec: TaskSpec, num_samples: int, steps_per_plan: int,
 
     # plan from the current sim state
     plan_d = sync_plan_state(make_data(pmodel, dtype=sim.qpos.dtype), sim)
-    plan_spec_model = pm_spec
-    cfg = sampling.default_config(spec, dtype=sim.qpos.dtype)
+    cfg = sampling.default_config(pspec, dtype=sim.qpos.dtype)
 
     def one_iter(pol, k):
       pol, info = sampling.optimize(
-          spec, pol, plan_d, params, cfg, k, num_samples, t_steps, interp)
+          pspec, pol, plan_d, params, cfg, k, num_samples, t_steps, interp)
       return pol, info['best_return']
 
     keys = jax.random.split(k_plan, planner_iterations)
@@ -167,7 +178,7 @@ class Agent:
                                                  10))
     self.horizon_steps = horizon_steps(spec)
     self.planner = planner_registry.make_planner(
-        spec, planner_id, num_samples, self.horizon_steps, p,
+        plan_spec(spec), planner_id, num_samples, self.horizon_steps, p,
         interp=self.interp, dtype=dtype)
     self.policy = self.planner.init()
     self.params = spec.default_params

@@ -192,7 +192,7 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
 
 class PairParams(NamedTuple):
   """Combined contact parameters for a pair (mj_contactParam rules)."""
-  friction: jax.Array      # sliding friction (scalar, isotropic round 1)
+  friction: jax.Array      # (3,) sliding, torsional, rolling friction
   solref: jax.Array        # (2,)
   solimp: jax.Array        # (5,)
   includemargin: jax.Array  # margin - gap
@@ -209,7 +209,7 @@ def pair_params(m: Model, g1: int, g2: int) -> PairParams:
   if p1 != p2:
     g = g1 if p1 > p2 else g2
     return PairParams(
-        friction=m.geom_friction[g, 0], solref=m.geom_solref[g],
+        friction=m.geom_friction[g], solref=m.geom_solref[g],
         solimp=m.geom_solimp[g], includemargin=margin - gap,
         condim=m.geom_condim[g], invweight=invweight)
   mix1, mix2 = m.geom_solmix[g1], m.geom_solmix[g2]
@@ -222,7 +222,8 @@ def pair_params(m: Model, g1: int, g2: int) -> PairParams:
       w1 * m.geom_solref[g1] + w2 * m.geom_solref[g2],
       jnp.minimum(m.geom_solref[g1], m.geom_solref[g2]))
   solimp = w1 * m.geom_solimp[g1] + w2 * m.geom_solimp[g2]
-  friction = jnp.maximum(m.geom_friction[g1, 0], m.geom_friction[g2, 0])
+  # element-wise max over (sliding, torsional, rolling)
+  friction = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
   return PairParams(
       friction=friction, solref=solref, solimp=solimp,
       includemargin=margin - gap,

@@ -42,6 +42,7 @@ class Rows(NamedTuple):
   aref: jax.Array    # (n,) reference acceleration
   d: jax.Array       # (n,) penalty weight D
   active: jax.Array  # (n,) bool
+  equality: jax.Array  # (n,) bool: two-sided row (force for any jar sign)
 
 
 def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
@@ -109,20 +110,281 @@ def _limit_rows(m: Model, d: Data) -> Rows | None:
       ds.append(dd)
       actives.append(pos < 0.0)
   return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
-              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives))
+              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives),
+              jnp.zeros(len(js), dtype=bool))
+
+
+def _tendon_limit_rows(m: Model, d: Data) -> Rows | None:
+  """Tendon-limit rows: 2 per limited tendon (analog of joint limits;
+  reference humanoid patch uses limited fixed tendons for hamstrings)."""
+  limited = [ti for ti in range(m.ntendon) if m.tendon_limited[ti]]
+  if not limited:
+    return None
+  dtype = d.qpos.dtype
+  js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
+  length = m.ten_qmat @ d.qpos
+  vel_all = m.ten_moment @ d.qvel
+  for ti in limited:
+    for side in (0, 1):
+      if side == 0:
+        pos = length[ti] - m.tendon_range[ti, 0]
+        jac = m.ten_moment[ti]
+        v = vel_all[ti]
+      else:
+        pos = m.tendon_range[ti, 1] - length[ti]
+        jac = -m.ten_moment[ti]
+        v = -vel_all[ti]
+      pos = pos - m.tendon_margin[ti]
+      k, b, imp = kbi(m.tendon_solref_lim[ti], m.tendon_solimp_lim[ti], pos)
+      aref = -b * v - k * imp * pos
+      dd = imp / (1.0 - imp) / jnp.maximum(m.tendon_invweight0[ti], 1e-12)
+      js.append(jac.astype(dtype))
+      poss.append(pos)
+      margins.append(m.tendon_margin[ti])
+      arefs.append(aref)
+      ds.append(dd)
+      actives.append(pos < 0.0)
+  return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
+              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives),
+              jnp.zeros(len(js), dtype=bool))
+
+
+def _equality_rows(m: Model, d: Data) -> Rows | None:
+  """Equality-constraint rows (mjEQ_CONNECT / WELD / JOINT / TENDON).
+
+  Two-sided soft constraints: same K/B/impedance machinery as limits but
+  the penalty applies for either sign of jar (reference relies on mj_step
+  for these; menagerie hand models use joint couplings, task scenes use
+  connect/weld attachments)."""
+  from mujoco_mpc_tpu.physics import smooth
+
+  if m.neq == 0:
+    return None
+  dtype = d.qpos.dtype
+  js, poss, arefs, ds = [], [], [], []
+  # residual functions (qpos, kinematics-Data) -> row-ordered vector, used
+  # to get the velocity bias Jdot@qvel via a nested jvp (MuJoCo folds
+  # -Jdot@qvel into connect/weld aref but NOT into joint/tendon polynomial
+  # couplings; verified numerically vs efc_aref)
+  res_fns = []
+  bias_mask = []  # per-row: subtract the Jdot@qvel bias for this row
+  # rows of the equality currently being assembled; impedance is shared
+  # across a constraint's rows and computed from the norm of its full
+  # residual vector (matches mj efc_D equal across connect/weld rows)
+  pending = []
+
+  def add(jac, pos, invweight, e):
+    pending.append((jac.astype(dtype), pos, invweight, e))
+
+  def flush():
+    if not pending:
+      return
+    e = pending[0][3]
+    pos_norm = jnp.sqrt(sum(p * p for (_, p, _, _) in pending))
+    k, b, imp = kbi(m.eq_solref[e], m.eq_solimp[e], pos_norm)
+    for jac, pos, invweight, _ in pending:
+      vel = jac @ d.qvel
+      js.append(jac)
+      poss.append(pos)
+      arefs.append(-b * vel - k * imp * pos)
+      ds.append(imp / (1.0 - imp) / jnp.maximum(invweight, 1e-12))
+    pending.clear()
+
+  for e in range(m.neq):
+    if not m.eq_active0[e]:
+      continue
+    etype = m.eq_type[e]
+    data = m.eq_data[e]
+    if etype == 0:  # connect
+      b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+      anchor1, anchor2 = data[0:3], data[3:6]
+      pos1 = d.xpos[b1] + d.xmat[b1] @ anchor1
+      pos2 = d.xpos[b2] + d.xmat[b2] @ anchor2
+      jacp1, _ = smooth._body_jac(m, d, b1, pos1)
+      jacp2, _ = smooth._body_jac(m, d, b2, pos2)
+      cpos = pos1 - pos2
+      jac = (jacp1 - jacp2).T                    # (3, nv)
+      iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+      for r in range(3):
+        add(jac[r], cpos[r], iw, e)
+
+      def res_connect(qpos, dk, b1=b1, b2=b2, a1=anchor1, a2=anchor2):
+        return (dk.xpos[b1] + dk.xmat[b1] @ a1
+                - dk.xpos[b2] - dk.xmat[b2] @ a2)
+      res_fns.append(res_connect)
+      bias_mask += [True] * 3
+    elif etype == 1:  # weld
+      from mujoco_mpc_tpu.utils import tpu_math as tm
+      b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
+      anchor1, anchor2 = data[0:3], data[3:6]
+      relpose, torquescale = data[6:10], data[10]
+      # position part: anchor of body2 expressed in body1 vs body2 world
+      pos1 = d.xpos[b1] + d.xmat[b1] @ anchor2
+      pos2 = d.xpos[b2] + d.xmat[b2] @ anchor1
+      jacp1, jacr1 = smooth._body_jac(m, d, b1, pos1)
+      jacp2, jacr2 = smooth._body_jac(m, d, b2, pos2)
+      cpos = pos1 - pos2
+      jacp = (jacp1 - jacp2).T
+      iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+      for r in range(3):
+        add(jacp[r], cpos[r], iw, e)
+      # orientation part: quat error q = conj(q2 * relpose) * q1,
+      # residual = torquescale * vec(q); Jacobian via the angular
+      # velocity difference mapped through 0.5 * G(q)
+      quat1 = d.xquat[b1]
+      quat2 = tm.quat_mul(d.xquat[b2], relpose)
+      crot = tm.quat_mul(tm.quat_conj(quat2), quat1)  # error quat
+      cpos_rot = torquescale * crot[1:]
+      # d(vec(conj(q2r) q1))/dt = 0.5 * [mapping] (w1 - w2) in body frames;
+      # exact linearization: J = torquescale * 0.5 * Vmat @ (R? jacr1-jacr2)
+      # build via quaternion product derivative matrices
+      # vec part of conj(q2) * q1 differentiated w.r.t. world ang vels:
+      # dq1/dt = 0.5 * q1 * (0, w1_local); w_local = R1^T w_world
+      def dvec(jacr_cols, quat_fixed_conj, quat_var, xmat_var, sign):
+        # derivative of vec(quat_fixed_conj * quat_var) wrt world angvel
+        # dquat_var/dt = 0.5 * (0, w_world) * quat_var  (world convention)
+        out = []
+        for k in range(3):
+          w = jnp.zeros(3, dtype=dtype).at[k].set(1.0)
+          dq = 0.5 * tm.quat_mul(jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                                                  w]), quat_var)
+          out.append(sign * tm.quat_mul(quat_fixed_conj, dq)[1:])
+        return jnp.stack(out)  # (3 axes, 3 vec) d vec / d w_axis
+      dv1 = dvec(None, tm.quat_conj(quat2), quat1, None, 1.0)   # (3,3)
+      dv2_full = []
+      for k in range(3):
+        w = jnp.zeros(3, dtype=dtype).at[k].set(1.0)
+        dq2 = 0.5 * tm.quat_mul(
+            jnp.concatenate([jnp.zeros(1, dtype=dtype), w]), quat2)
+        dv2_full.append(tm.quat_mul(tm.quat_conj(dq2), quat1)[1:])
+      dv2 = jnp.stack(dv2_full)
+      jrot = torquescale * (jacr1 @ dv1 + jacr2 @ dv2).T  # (3, nv)
+      iwr = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+      for r in range(3):
+        add(jrot[r], cpos_rot[r], iwr, e)
+
+      def res_weld(qpos, dk, b1=b1, b2=b2, a1=anchor1, a2=anchor2,
+                   relpose=relpose, torquescale=torquescale):
+        trans = (dk.xpos[b1] + dk.xmat[b1] @ a2
+                 - dk.xpos[b2] - dk.xmat[b2] @ a1)
+        q2 = tm.quat_mul(dk.xquat[b2], relpose)
+        rot = torquescale * tm.quat_mul(tm.quat_conj(q2), dk.xquat[b1])[1:]
+        return jnp.concatenate([trans, rot])
+      res_fns.append(res_weld)
+      bias_mask += [True] * 6
+    elif etype == 2:  # joint coupling: q1 - q1_0 = poly(q2 - q2_0)
+      j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
+      qadr1, dof1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
+      poly = data[0:5]
+      if j2 >= 0:
+        qadr2, dof2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
+        dif = d.qpos[qadr2] - m.qpos0[qadr2]
+        p = (poly[0] + poly[1] * dif + poly[2] * dif ** 2
+             + poly[3] * dif ** 3 + poly[4] * dif ** 4)
+        dp = (poly[1] + 2 * poly[2] * dif + 3 * poly[3] * dif ** 2
+              + 4 * poly[4] * dif ** 3)
+        pos = d.qpos[qadr1] - m.qpos0[qadr1] - p
+        jac = jnp.zeros(m.nv, dtype=dtype).at[dof1].set(1.0)
+        jac = jac.at[dof2].add(-dp)
+        iw = m.dof_invweight0[dof1] + m.dof_invweight0[dof2]
+      else:
+        pos = d.qpos[qadr1] - m.qpos0[qadr1] - poly[0]
+        jac = jnp.zeros(m.nv, dtype=dtype).at[dof1].set(1.0)
+        iw = m.dof_invweight0[dof1]
+      add(jac, pos, iw, e)
+
+      def res_joint(qpos, dk, qadr1=qadr1, j2=j2, poly=poly, e=e):
+        r = qpos[qadr1] - m.qpos0[qadr1]
+        if j2 >= 0:
+          dif = qpos[m.jnt_qposadr[j2]] - m.qpos0[m.jnt_qposadr[j2]]
+          r = r - (poly[0] + poly[1] * dif + poly[2] * dif ** 2
+                   + poly[3] * dif ** 3 + poly[4] * dif ** 4)
+        else:
+          r = r - poly[0]
+        return r[None]
+      res_fns.append(res_joint)
+      bias_mask.append(False)
+    elif etype == 3:  # tendon coupling: L1 - L1_0 = poly(L2 - L2_0)
+      t1_, t2_ = m.eq_obj1id[e], m.eq_obj2id[e]
+      poly = data[0:5]
+      length = m.ten_qmat @ d.qpos
+      length0 = m.ten_qmat @ m.qpos0
+      if t2_ >= 0:
+        dif = length[t2_] - length0[t2_]
+        p = (poly[0] + poly[1] * dif + poly[2] * dif ** 2
+             + poly[3] * dif ** 3 + poly[4] * dif ** 4)
+        dp = (poly[1] + 2 * poly[2] * dif + 3 * poly[3] * dif ** 2
+              + 4 * poly[4] * dif ** 3)
+        pos = length[t1_] - length0[t1_] - p
+        jac = m.ten_moment[t1_] - dp * m.ten_moment[t2_]
+        iw = m.tendon_invweight0[t1_] + m.tendon_invweight0[t2_]
+      else:
+        pos = length[t1_] - length0[t1_] - poly[0]
+        jac = m.ten_moment[t1_]
+        iw = m.tendon_invweight0[t1_]
+      add(jac, pos, iw, e)
+
+      def res_tendon(qpos, dk, t1_=t1_, t2_=t2_, poly=poly):
+        length = m.ten_qmat @ qpos
+        length0 = m.ten_qmat @ m.qpos0
+        r = length[t1_] - length0[t1_]
+        if t2_ >= 0:
+          dif = length[t2_] - length0[t2_]
+          r = r - (poly[0] + poly[1] * dif + poly[2] * dif ** 2
+                   + poly[3] * dif ** 3 + poly[4] * dif ** 4)
+        else:
+          r = r - poly[0]
+        return r[None]
+      res_fns.append(res_tendon)
+      bias_mask.append(False)
+    else:
+      raise NotImplementedError(f'equality type {etype}')
+    flush()
+
+  if not js:
+    return None
+
+  # velocity bias: aref -= Jdot @ qvel, computed as the second derivative
+  # of the residual along the constant-qvel configuration path (qacc = 0
+  # along integrate_pos, so d2r/dt2 = Jdot @ qvel exactly)
+  from mujoco_mpc_tpu.physics import forward as fwd_mod
+  from mujoco_mpc_tpu.physics import kinematics as kin
+
+  needs_kin = any(m.eq_type[e] in (0, 1) for e in range(m.neq)
+                  if m.eq_active0[e])
+
+  def res_all(t):
+    qpos = fwd_mod.integrate_pos(m, d.qpos, d.qvel, t)
+    dk = kin.kinematics(m, d.replace(qpos=qpos)) if needs_kin else d
+    return jnp.concatenate([fn(qpos, dk) for fn in res_fns])
+
+  t0 = jnp.zeros((), dtype=dtype)
+  one = jnp.ones((), dtype=dtype)
+  rdot = lambda t: jax.jvp(res_all, (t,), (one,))[1]
+  bias = jax.jvp(rdot, (t0,), (one,))[1]          # (n,) Jdot @ qvel
+  bias = jnp.where(jnp.asarray(bias_mask), bias, 0.0)
+
+  n = len(js)
+  return Rows(jnp.stack(js), jnp.stack(poss),
+              jnp.zeros(n, dtype=dtype), jnp.stack(arefs) - bias,
+              jnp.stack(ds),
+              jnp.ones(n, dtype=bool), jnp.ones(n, dtype=bool))
 
 
 def _contact_rows(m: Model, d: Data) -> Rows | None:
   """Contact constraint rows from the static candidate pair list.
 
-  Pyramidal friction (MuJoCo default): condim-3 contacts contribute 4
-  one-sided rows J = Jn ± mu*Jt_i with diagApprox scaled by 2*(1+mu^2);
-  frictionless (condim 1) contribute the normal row. Validated numerically
-  against mjd.efc_* (tests/test_contacts.py).
+  Pyramidal friction (MuJoCo default cone): a condim-c contact contributes
+  2*(c-1) one-sided facet rows J = Jn ± mu_i * J_i over the friction
+  dimensions (tangents t1,t2; torsion about the normal for condim>=4;
+  rolling about t1,t2 for condim 6), with diagApprox
+  invweight * 2*mu1^2*(1+mu1^2) (mu1 = sliding friction); frictionless
+  (condim 1) contributes the normal row with diagApprox = invweight.
+  Validated numerically against mjd.efc_* (tests/test_contacts.py).
 
-  Assembly is point-stacked: per-point normals/tangent Jacobians are
-  stacked into (P, nv) tensors FIRST and the 4 friction rows are expanded
-  with one broadcast op. Building rows one-by-one leaves ~rows separate
+  Assembly is point-stacked: per-point normal/tangent Jacobians are
+  stacked into (P, nv) tensors FIRST and the facet rows are expanded with
+  broadcast ops. Building rows one-by-one leaves ~rows separate
   (batch, 1, nv) temporaries alive inside the Newton while_loop, each
   padded to (8, 128) tiles — a 146x memory expansion that OOMed the
   Shadow-hand planner at 8192 samples.
@@ -131,11 +393,16 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
 
   if not m.collision_pairs:
     return None
-  dtype = d.qpos.dtype
 
-  # per-point gathers, grouped by condim (static structure)
-  g1_jn, g1_scal = [], []   # frictionless: (jn, (pos, margin, k_imp, b, imp, dapprox))
-  g3_jn, g3_jt1, g3_jt2, g3_scal, g3_mu = [], [], [], [], []
+  # per-point gathers, grouped by condim (static structure).
+  # groups[c] = dict of lists: jn, jt1, jt2, jrn, jrt1, jrt2, mu (3,), scal
+  groups = {1: None, 3: None, 4: None, 6: None}
+
+  def _group(c):
+    if groups[c] is None:
+      groups[c] = {k: [] for k in
+                   ('jn', 'jt1', 'jt2', 'jrn', 'jrt1', 'jrt2', 'mu', 'scal')}
+    return groups[c]
 
   for (g1, g2) in m.collision_pairs:
     params = collision.pair_params(m, g1, g2)
@@ -143,56 +410,73 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
     if not points:
       continue
     b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
-    mu = params.friction
+    mu = params.friction                       # (3,) slide, torsion, roll
+    condim = params.condim
+    if condim not in (1, 3, 4, 6):
+      raise NotImplementedError(f'contact condim {condim}')
     for cp in points:
       pos = cp.dist - params.includemargin
-      jacp1, _ = smooth._body_jac(m, d, b1, cp.pos)
-      jacp2, _ = smooth._body_jac(m, d, b2, cp.pos)
+      jacp1, jacr1 = smooth._body_jac(m, d, b1, cp.pos)
+      jacp2, jacr2 = smooth._body_jac(m, d, b2, cp.pos)
       jp = jacp2 - jacp1                     # (nv, 3)
       n = cp.normal
       jn = jp @ n
       k, b, imp = kbi(params.solref, params.solimp, pos)
-      if params.condim == 1:
-        dapprox = params.invweight + 0.0 * mu
-        g1_jn.append(jn)
-        g1_scal.append(jnp.stack([pos, params.includemargin + 0.0 * pos,
-                                  k * imp, b, imp, dapprox]))
+      if condim == 1:
+        dapprox = params.invweight
       else:
-        t1, t2 = collision._make_frame(n)
-        dapprox = params.invweight * 2.0 * (1.0 + mu * mu)
-        g3_jn.append(jn)
-        g3_jt1.append(jp @ t1)
-        g3_jt2.append(jp @ t2)
-        g3_mu.append(mu + 0.0 * pos)
-        g3_scal.append(jnp.stack([pos, params.includemargin + 0.0 * pos,
+        dapprox = (params.invweight * 2.0 * mu[0] * mu[0]
+                   * (1.0 + mu[0] * mu[0]))
+      g = _group(condim)
+      g['scal'].append(jnp.stack([pos, params.includemargin + 0.0 * pos,
                                   k * imp, b, imp, dapprox]))
+      g['jn'].append(jn)
+      if condim >= 3:
+        t1, t2 = collision._make_frame(n)
+        g['jt1'].append(jp @ t1)
+        g['jt2'].append(jp @ t2)
+        g['mu'].append(mu)
+        if condim >= 4:
+          jr = jacr2 - jacr1                 # (nv, 3)
+          g['jrn'].append(jr @ n)
+          if condim == 6:
+            g['jrt1'].append(jr @ t1)
+            g['jrt2'].append(jr @ t2)
 
   blocks = []
-  if g1_jn:
-    jmat = jnp.stack(g1_jn)                          # (P1, nv)
-    sc = jnp.stack(g1_scal)                          # (P1, 6)
-    pos, margin, k_imp, b, imp, dapprox = (sc[:, 0], sc[:, 1], sc[:, 2],
-                                           sc[:, 3], sc[:, 4], sc[:, 5])
+  for condim, g in groups.items():
+    if g is None:
+      continue
+    jn = jnp.stack(g['jn'])                          # (P, nv)
+    sc = jnp.stack(g['scal'])                        # (P, 6)
+    if condim == 1:
+      jmat, nrep = jn, 1
+    else:
+      mu = jnp.stack(g['mu'])                        # (P, 3)
+      mus = mu[:, 0:1]                               # sliding
+      jt1 = jnp.stack(g['jt1'])
+      jt2 = jnp.stack(g['jt2'])
+      facets = [jn + mus * jt1, jn - mus * jt1,
+                jn + mus * jt2, jn - mus * jt2]
+      if condim >= 4:
+        mut = mu[:, 1:2]
+        jrn = jnp.stack(g['jrn'])
+        facets += [jn + mut * jrn, jn - mut * jrn]
+      if condim == 6:
+        mur = mu[:, 2:3]
+        jrt1 = jnp.stack(g['jrt1'])
+        jrt2 = jnp.stack(g['jrt2'])
+        facets += [jn + mur * jrt1, jn - mur * jrt1,
+                   jn + mur * jrt2, jn - mur * jrt2]
+      jmat = jnp.concatenate(facets)                 # (nrep*P, nv)
+      nrep = len(facets)
+    scr = jnp.tile(sc, (nrep, 1))
+    pos, margin, k_imp, b, imp, dapprox = (scr[:, 0], scr[:, 1], scr[:, 2],
+                                           scr[:, 3], scr[:, 4], scr[:, 5])
     vel = jmat @ d.qvel
     blocks.append(Rows(jmat, pos, margin, -b * vel - k_imp * pos,
                        imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12),
-                       pos < 0.0))
-  if g3_jn:
-    jn = jnp.stack(g3_jn)                            # (P3, nv)
-    jt1 = jnp.stack(g3_jt1)
-    jt2 = jnp.stack(g3_jt2)
-    mu = jnp.stack(g3_mu)[:, None]                   # (P3, 1)
-    sc = jnp.stack(g3_scal)                          # (P3, 6)
-    # 4 pyramidal rows per point in one broadcast: jn ± mu*jt{1,2}
-    jmat = jnp.concatenate([jn + mu * jt1, jn - mu * jt1,
-                            jn + mu * jt2, jn - mu * jt2])  # (4*P3, nv)
-    sc4 = jnp.tile(sc, (4, 1))
-    pos, margin, k_imp, b, imp, dapprox = (sc4[:, 0], sc4[:, 1], sc4[:, 2],
-                                           sc4[:, 3], sc4[:, 4], sc4[:, 5])
-    vel = jmat @ d.qvel
-    blocks.append(Rows(jmat, pos, margin, -b * vel - k_imp * pos,
-                       imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12),
-                       pos < 0.0))
+                       pos < 0.0, jnp.zeros_like(pos, dtype=bool)))
   return _concat_rows(blocks)
 
 
@@ -204,8 +488,10 @@ def _concat_rows(blocks) -> Rows | None:
 
 
 def make_rows(m: Model, d: Data):
-  """Assemble all constraint rows (joint limits + contacts)."""
-  return _concat_rows([_limit_rows(m, d), _contact_rows(m, d)])
+  """Assemble all constraint rows (equality + joint/tendon limits +
+  contacts), in MuJoCo's efc ordering."""
+  return _concat_rows([_equality_rows(m, d), _limit_rows(m, d),
+                       _tendon_limit_rows(m, d), _contact_rows(m, d)])
 
 
 def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
@@ -232,18 +518,19 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
   qm = d.qM
   j_mat = rows.j                       # (n, nv)
   dvec = jnp.where(rows.active, rows.d, 0.0)
+  eq = rows.equality                   # two-sided rows: force for any jar
 
   def force(qacc):
     jar = j_mat @ qacc - rows.aref
-    # one-sided: force only when jar < 0
-    return jnp.where(jar < 0, -dvec * jar, 0.0)
+    # one-sided rows: force only when jar < 0; equality rows: always
+    return jnp.where(jnp.logical_or(jar < 0, eq), -dvec * jar, 0.0)
 
   def grad(qacc):
     return qm @ (qacc - qacc_smooth) - j_mat.T @ force(qacc)
 
   def cost(qa):
     jar = j_mat @ qa - rows.aref
-    pen = jnp.where(jar < 0, dvec, 0.0)
+    pen = jnp.where(jnp.logical_or(jar < 0, eq), dvec, 0.0)
     dq = qa - qacc_smooth
     return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
 
@@ -255,7 +542,7 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
     qacc, it, _, prev_exact = carry
     g = grad(qacc)
     jar = j_mat @ qacc - rows.aref
-    active = jar < 0
+    active = jnp.logical_or(jar < 0, eq)
     w = jnp.where(active, dvec, 0.0)
     h = qm + (j_mat.T * w) @ j_mat
     h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
@@ -279,7 +566,7 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
     # (which matters for ill-conditioned mass matrices). TWO consecutive
     # stable-active-set full steps leave only O(damping^2) error — exit
     # then, or on a small step (truncated-step fallback).
-    new_active = (j_mat @ qacc_new - rows.aref) < 0
+    new_active = jnp.logical_or((j_mat @ qacc_new - rows.aref) < 0, eq)
     exact = jnp.logical_and(best == 0,
                             jnp.all(new_active == active))
     small = (jnp.linalg.norm(step)

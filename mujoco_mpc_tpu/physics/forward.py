@@ -29,6 +29,7 @@ def _solve_m(qm: jax.Array, rhs: jax.Array) -> jax.Array:
 def fwd_position(m: Model, d: Data) -> Data:
   d = kin.kinematics(m, d)
   d = kin.com_pos(m, d)
+  d = smooth.tendon(m, d)
   d = smooth.transmission(m, d)
   return d
 

@@ -111,6 +111,8 @@ class Model:
   ngeom: int = _static(0)
   nsite: int = _static(0)
   nmocap: int = _static(0)
+  ntendon: int = _static(0)
+  neq: int = _static(0)
 
   # ---- tree structure (static tuples of ints) ----
   body_parentid: Tuple[int, ...] = _static(())
@@ -135,6 +137,12 @@ class Model:
   # static candidate collision pairs (geom1, geom2), prefiltered
   collision_pairs: Tuple[Tuple[int, int], ...] = _static(())
   site_bodyid: Tuple[int, ...] = _static(())
+  tendon_limited: Tuple[int, ...] = _static(())
+  tendon_names: Tuple[str, ...] = _static(())
+  eq_type: Tuple[int, ...] = _static(())      # mjtEq values
+  eq_obj1id: Tuple[int, ...] = _static(())
+  eq_obj2id: Tuple[int, ...] = _static(())
+  eq_active0: Tuple[int, ...] = _static(())
   actuator_trntype: Tuple[int, ...] = _static(())
   actuator_dyntype: Tuple[int, ...] = _static(())
   actuator_gaintype: Tuple[int, ...] = _static(())
@@ -201,6 +209,24 @@ class Model:
   actuator_biasprm: jax.Array = None  # (nu, k)
   actuator_ctrlrange: jax.Array = None  # (nu, 2)
   actuator_forcerange: jax.Array = None  # (nu, 2)
+
+  # fixed tendons (wrap type joint only; spatial tendons rejected at
+  # compile). Moments are configuration-independent, so both maps are
+  # constant model leaves: length = ten_qmat @ qpos, J = ten_moment.
+  eq_data: jax.Array = None         # (neq, 11)
+  eq_solref: jax.Array = None       # (neq, 2)
+  eq_solimp: jax.Array = None       # (neq, 5)
+
+  ten_moment: jax.Array = None      # (ntendon, nv)
+  ten_qmat: jax.Array = None        # (ntendon, nq)
+  tendon_stiffness: jax.Array = None    # (ntendon,)
+  tendon_damping: jax.Array = None      # (ntendon,)
+  tendon_lengthspring: jax.Array = None  # (ntendon, 2) deadband [lo, hi]
+  tendon_range: jax.Array = None        # (ntendon, 2)
+  tendon_margin: jax.Array = None       # (ntendon,)
+  tendon_solref_lim: jax.Array = None   # (ntendon, 2)
+  tendon_solimp_lim: jax.Array = None   # (ntendon, 5)
+  tendon_invweight0: jax.Array = None   # (ntendon,)
 
   # dense (nv, nv) mask: M[i, j] structurally nonzero (j ancestor-or-self of i)
   dof_ancestor_mask: jax.Array = None
@@ -286,6 +312,10 @@ class Data:
   qacc: jax.Array = None           # (nv,)
   act_dot: jax.Array = None        # (na,)
 
+  # tendons
+  ten_length: jax.Array = None     # (ntendon,)
+  ten_velocity: jax.Array = None   # (ntendon,)
+
   # sensors (task-defined residual inputs live here)
   sensordata: jax.Array = None
 
@@ -309,12 +339,42 @@ def _names(mj, adr_array, count, objtype=None) -> Tuple[str, ...]:
   return tuple(out)
 
 
-def put_model(mj, dtype=jnp.float32) -> Model:
-  """Compile a mujoco.MjModel into our device Model pytree."""
+def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
+  """Compile a mujoco.MjModel into our device Model pytree.
+
+  strict_sensors: fail at compile time on sensor types sensordata() cannot
+  evaluate, instead of silently returning zeros for them at run time."""
+  import mujoco
   t = lambda a: tuple(int(x) for x in np.asarray(a).reshape(-1))
   # np.array(copy=True): jnp.asarray on CPU may zero-copy ALIAS the mujoco
   # buffers, which mj_step then mutates under us
   f = lambda a: jnp.asarray(np.array(a, dtype=np.float64), dtype=dtype)
+
+  if strict_sensors:
+    from mujoco_mpc_tpu.physics import sensors as sensors_mod
+    bad = []
+    for s in range(mj.nsensor):
+      st = int(mj.sensor_type[s])
+      if st not in sensors_mod.SUPPORTED_SENSORS:
+        adr = mj.name_sensoradr[s]
+        end = mj.names.find(b'\x00', adr)
+        bad.append(f'{mj.names[adr:end].decode()!r} (mjtSensor {st})')
+    if bad:
+      raise NotImplementedError(
+          'unsupported sensor types (silent zeros would corrupt residuals/'
+          'estimators): ' + ', '.join(bad) +
+          '. Pass strict_sensors=False to compile anyway.')
+
+  # MJCF <option><flag .../></option> disable bits the pipeline honors
+  dis = int(mj.opt.disableflags)
+  contact_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_CONTACT) or bool(
+      dis & mujoco.mjtDisableBit.mjDSBL_CONSTRAINT)
+  limit_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_LIMIT) or bool(
+      dis & mujoco.mjtDisableBit.mjDSBL_CONSTRAINT)
+  gravity_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_GRAVITY)
+  clampctrl_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_CLAMPCTRL)
+  equality_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_EQUALITY) or bool(
+      dis & mujoco.mjtDisableBit.mjDSBL_CONSTRAINT)
 
   nv = mj.nv
   # dense ancestor mask from dof_parentid: mask[i, j] = j is ancestor-or-self
@@ -339,7 +399,7 @@ def put_model(mj, dtype=jnp.float32) -> Model:
     sig = int(mj.exclude_signature[e])
     excluded.add((sig >> 16, sig & 0xFFFF))
     excluded.add((sig & 0xFFFF, sig >> 16))
-  for g1 in range(mj.ngeom):
+  for g1 in range(mj.ngeom if not contact_disabled else 0):
     for g2 in range(g1 + 1, mj.ngeom):
       b1, b2 = int(mj.geom_bodyid[g1]), int(mj.geom_bodyid[g2])
       if b1 == b2:
@@ -368,9 +428,24 @@ def put_model(mj, dtype=jnp.float32) -> Model:
         g1o, g2o = g1, g2
       pairs.append((g1o, g2o))
 
+  # fixed tendons: constant joint-space maps (mjWRAP_JOINT wraps only)
+  ten_moment = np.zeros((mj.ntendon, mj.nv))
+  ten_qmat = np.zeros((mj.ntendon, mj.nq))
+  for ti in range(mj.ntendon):
+    adr, num = int(mj.tendon_adr[ti]), int(mj.tendon_num[ti])
+    for w in range(adr, adr + num):
+      if int(mj.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT):
+        raise NotImplementedError(
+            'only fixed (joint-wrap) tendons are supported; tendon '
+            f'{ti} uses wrap type {int(mj.wrap_type[w])} (spatial)')
+      j = int(mj.wrap_objid[w])
+      coef = float(mj.wrap_prm[w])
+      ten_moment[ti, mj.jnt_dofadr[j]] += coef
+      ten_qmat[ti, mj.jnt_qposadr[j]] += coef
+
   opt = Option(
       timestep=f(mj.opt.timestep),
-      gravity=f(mj.opt.gravity),
+      gravity=f(np.zeros(3) if gravity_disabled else mj.opt.gravity),
       wind=f(mj.opt.wind),
       density=f(mj.opt.density),
       viscosity=f(mj.opt.viscosity),
@@ -380,7 +455,15 @@ def put_model(mj, dtype=jnp.float32) -> Model:
 
   return Model(
       nq=mj.nq, nv=mj.nv, nu=mj.nu, na=mj.na, nbody=mj.nbody, njnt=mj.njnt,
-      ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap,
+      ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap, ntendon=mj.ntendon,
+      neq=0 if equality_disabled else mj.neq,
+      eq_type=t(mj.eq_type),
+      eq_obj1id=t(mj.eq_obj1id),
+      eq_obj2id=t(mj.eq_obj2id),
+      eq_active0=t(mj.eq_active0),
+      tendon_limited=t(np.zeros_like(mj.tendon_limited) if limit_disabled
+                       else mj.tendon_limited),
+      tendon_names=_names(mj, mj.name_tendonadr, mj.ntendon),
       body_parentid=t(mj.body_parentid),
       body_rootid=t(mj.body_rootid),
       body_jntadr=t(mj.body_jntadr),
@@ -392,7 +475,8 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       jnt_qposadr=t(mj.jnt_qposadr),
       jnt_dofadr=t(mj.jnt_dofadr),
       jnt_bodyid=t(mj.jnt_bodyid),
-      jnt_limited=t(mj.jnt_limited),
+      jnt_limited=t(np.zeros_like(mj.jnt_limited) if limit_disabled
+                    else mj.jnt_limited),
       dof_bodyid=t(mj.dof_bodyid),
       dof_jntid=t(mj.dof_jntid),
       dof_parentid=t(mj.dof_parentid),
@@ -409,7 +493,9 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       actuator_trnid=t(mj.actuator_trnid[:, 0]) if mj.nu else (),
       actuator_actadr=t(mj.actuator_actadr),
       actuator_actnum=t(mj.actuator_actnum),
-      actuator_ctrllimited=t(mj.actuator_ctrllimited),
+      actuator_ctrllimited=t(np.zeros_like(mj.actuator_ctrllimited)
+                             if clampctrl_disabled
+                             else mj.actuator_ctrllimited),
       actuator_forcelimited=t(mj.actuator_forcelimited),
       has_fluid=bool(mj.opt.density > 0 or mj.opt.viscosity > 0
                      or np.any(mj.opt.wind)),
@@ -463,6 +549,20 @@ def put_model(mj, dtype=jnp.float32) -> Model:
       actuator_biasprm=f(mj.actuator_biasprm),
       actuator_ctrlrange=f(mj.actuator_ctrlrange),
       actuator_forcerange=f(mj.actuator_forcerange),
+      eq_data=f(mj.eq_data),
+      eq_solref=f(mj.eq_solref),
+      eq_solimp=f(mj.eq_solimp),
+      ten_moment=f(ten_moment),
+      ten_qmat=f(ten_qmat),
+      tendon_stiffness=f(mj.tendon_stiffness),
+      tendon_damping=f(mj.tendon_damping),
+      tendon_lengthspring=f(np.atleast_2d(mj.tendon_lengthspring)
+                            if mj.ntendon else np.zeros((0, 2))),
+      tendon_range=f(mj.tendon_range),
+      tendon_margin=f(mj.tendon_margin),
+      tendon_solref_lim=f(mj.tendon_solref_lim),
+      tendon_solimp_lim=f(mj.tendon_solimp_lim),
+      tendon_invweight0=f(mj.tendon_invweight0),
       dof_ancestor_mask=jnp.asarray(mask),
       key_qpos=f(mj.key_qpos) if mj.nkey else jnp.zeros((0, mj.nq), dtype),
       key_qvel=f(mj.key_qvel) if mj.nkey else jnp.zeros((0, mj.nv), dtype),
@@ -541,5 +641,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
       qfrc_smooth=z(m.nv),
       qacc=z(m.nv),
       act_dot=z(m.na),
+      ten_length=z(m.ntendon),
+      ten_velocity=z(m.ntendon),
       sensordata=z(0),
   )

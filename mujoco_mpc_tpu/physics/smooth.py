@@ -76,10 +76,34 @@ def rne(m: Model, d: Data) -> Data:
   return d.replace(qfrc_bias=qfrc_bias)
 
 
+def tendon(m: Model, d: Data) -> Data:
+  """Fixed-tendon lengths and velocities (analog: mj_tendon).
+
+  Fixed tendons are linear maps of joint coordinates, so both are single
+  matmuls against constant model matrices (reference gets tendons from
+  mj_step; the Shadow-hand-class models and the reference humanoid patch
+  use them for joint coupling)."""
+  if m.ntendon == 0:
+    return d
+  return d.replace(ten_length=m.ten_qmat @ d.qpos,
+                   ten_velocity=m.ten_moment @ d.qvel)
+
+
 def passive(m: Model, d: Data) -> Data:
   """Spring/damper passive forces (analog: mj_passive, fluid in fluid.py)."""
   dtype = d.qpos.dtype
   qfrc = -m.dof_damping * d.qvel
+
+  # tendon spring (deadband [lo, hi]) + damper forces
+  if m.ntendon:
+    length = m.ten_qmat @ d.qpos
+    vel = m.ten_moment @ d.qvel
+    lo = m.tendon_lengthspring[:, 0]
+    hi = m.tendon_lengthspring[:, 1]
+    displacement = jnp.where(length > hi, hi - length,
+                             jnp.where(length < lo, lo - length, 0.0))
+    frc = m.tendon_stiffness * displacement - m.tendon_damping * vel
+    qfrc = qfrc + m.ten_moment.T @ frc
 
   for j in range(m.njnt):
     # static skip of zero-stiffness joints keeps the graph small
@@ -164,6 +188,10 @@ def transmission(m: Model, d: Data) -> Data:
       torque = d.site_xmat[s] @ gear[3:]
       lengths.append(jnp.zeros((), dtype=dtype))
       moments.append(jacp @ force + jacr @ torque)
+    elif trntype == TrnType.TENDON:
+      ti = m.actuator_trnid[u]
+      lengths.append(d.ten_length[ti] * gear[0])
+      moments.append(m.ten_moment[ti] * gear[0])
     else:
       raise NotImplementedError(f'transmission type {trntype}')
   moment = jnp.stack(moments)              # (nu, nv)

@@ -1,0 +1,195 @@
+"""Interop with the reference mujoco_mpc task configs.
+
+The reference (thowell/mujoco_mpc) builds its mesh-free task models by
+patching dm_control suite MJCFs and including them from a task.xml
+(reference: mjpc/tasks/CMakeLists.txt `patch -o ..._modified.xml`). This
+module reproduces that assembly at run time — copy the dm_control model,
+apply the reference's .patch, stage task.xml + common.xml — and builds
+TaskSpecs whose residuals mirror the reference C++ residual functions, so
+the SAME task configuration (model, cost terms, weights, planner settings)
+can be planned by this framework and compared against a MuJoCo oracle
+(tests/test_reference_parity.py).
+
+Supported tasks (all mesh-free): Cartpole, Acrobot, Swimmer, Walker.
+Residual semantics: mjpc/tasks/{cartpole/cartpole.cc:36-49,
+acrobot/acrobot.cc:36-51, swimmer/swimmer.cc:33-44, walker/walker.cc:38-56}.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import support
+from mujoco_mpc_tpu.tasks import base
+
+REFERENCE_ROOT = os.environ.get('MJPC_REFERENCE_ROOT', '/root/reference')
+
+# task dir -> dm_control suite model it is patched from
+# (reference: mjpc/tasks/CMakeLists.txt:20-63)
+_DM_SOURCE = {
+    'cartpole': 'cartpole',
+    'acrobot': 'acrobot',
+    'swimmer': 'swimmer',
+    'walker': 'walker',
+}
+
+
+def available() -> bool:
+  """True if the reference checkout + dm_control + `patch` are present."""
+  if not os.path.isdir(os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks')):
+    return False
+  if shutil.which('patch') is None:
+    return False
+  try:
+    import dm_control  # noqa: F401
+  except ImportError:
+    return False
+  return True
+
+
+def assemble_task_xml(task: str, cache_dir: Optional[str] = None) -> str:
+  """Stage the reference task model; returns the path to a loadable task.xml.
+
+  Mirrors the reference build (mjpc/tasks/CMakeLists.txt): dm_control
+  suite XML + reference patch -> <task>_modified.xml, plus the reference's
+  task.xml and shared common.xml.
+  """
+  import dm_control
+  if task not in _DM_SOURCE:
+    raise ValueError(f'unsupported reference task {task!r}; '
+                     f'supported: {sorted(_DM_SOURCE)}')
+  if cache_dir is None:
+    cache_dir = os.path.join(
+        os.environ.get('XDG_CACHE_HOME',
+                       os.path.join(os.path.expanduser('~'), '.cache')),
+        'mjpc_tpu', 'reference_tasks')
+  task_dir = os.path.join(cache_dir, task)
+  out_xml = os.path.join(task_dir, 'task.xml')
+  ref_task_dir = os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks', task)
+  if os.path.exists(out_xml):
+    return out_xml
+  os.makedirs(task_dir, exist_ok=True)
+
+  dm_xml = os.path.join(os.path.dirname(dm_control.__file__), 'suite',
+                        _DM_SOURCE[task] + '.xml')
+  base_xml = os.path.join(task_dir, f'{task}.xml')
+  shutil.copy(dm_xml, base_xml)
+  patch_file = os.path.join(ref_task_dir, f'{task}.xml.patch')
+  modified = os.path.join(task_dir, f'{task}_modified.xml')
+  with open(patch_file, 'rb') as pf:
+    subprocess.run(['patch', '-s', '-o', modified, base_xml], stdin=pf,
+                   check=True)
+  shutil.copy(os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks', 'common.xml'),
+              os.path.join(cache_dir, 'common.xml'))
+  shutil.copy(os.path.join(ref_task_dir, 'task.xml'), out_xml)
+  return out_xml
+
+
+# ---------------------------------------------------------------------------
+# Residuals mirroring the reference C++ (cited per function)
+# ---------------------------------------------------------------------------
+
+
+def _sensor_meta(m, name):
+  """(objtype, objid) of a named (non-user) sensor."""
+  idx = m.sensor_names.index(name)
+  return m.sensor_objtype[idx], m.sensor_objid[idx]
+
+
+def _frame_pos(m, d, objtype, objid):
+  """Sensor-convention frame position (mj_sensorPos FRAMEPOS)."""
+  if objtype == 6:    # site
+    return d.site_xpos[objid]
+  if objtype == 5:    # geom
+    return d.geom_xpos[objid]
+  if objtype == 1:    # body (inertial frame)
+    return d.xipos[objid]
+  return d.xpos[objid]
+
+
+def _cartpole_residual(m, d, rp):
+  # reference: cartpole.cc:36-49
+  return jnp.stack([
+      jnp.cos(d.qpos[1]) - 1.0,   # Vertical
+      d.qpos[0] - rp[0],          # Centered
+      d.qvel[1],                  # Velocity
+      d.ctrl[0],                  # Control
+  ])
+
+
+def _make_acrobot_residual(m):
+  # reference: acrobot.cc:36-51 (site 0 = goal, site 1 = tip)
+  def residual(m_, d, rp):
+    goal = d.site_xpos[0]
+    tip = d.site_xpos[1]
+    return jnp.stack([
+        goal[2] - tip[2],
+        goal[0] - tip[0],
+        d.qvel[0],
+        d.qvel[1],
+        d.ctrl[0],
+    ])
+  return residual
+
+
+def _make_swimmer_residual(m):
+  # reference: swimmer.cc:33-44 (controls; nose->target XY displacement)
+  nose_t, nose_i = _sensor_meta(m, 'nose')
+  targ_t, targ_i = _sensor_meta(m, 'target')
+
+  def residual(m_, d, rp):
+    nose = _frame_pos(m_, d, nose_t, nose_i)
+    target = _frame_pos(m_, d, targ_t, targ_i)
+    return jnp.concatenate([d.ctrl, (nose - target)[:2]])
+  return residual
+
+
+def _make_walker_residual(m):
+  # reference: walker.cc:38-56
+  torso = m.body('torso')
+
+  def residual(m_, d, rp):
+    height = d.xpos[torso][2]
+    torso_up = d.xmat[torso][2, 2]
+    com_vel = support.subtree_linvel(m_, d, torso)[0]
+    return jnp.concatenate([
+        d.ctrl,
+        jnp.stack([height - rp[0], torso_up - 1.0, com_vel - rp[1]]),
+    ])
+  return residual
+
+
+def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
+  """Build a TaskSpec from the actual reference task configuration.
+
+  Model, cost terms (user sensors), weights, norm types/params and agent/
+  planner settings all come from the reference task.xml; only the residual
+  function is re-implemented (pure JAX, mirroring the task's .cc)."""
+  from mujoco_mpc_tpu.tasks import registry as registry_mod
+
+  xml_path = assemble_task_xml(task)
+  name = f'Reference {task.capitalize()}'
+  from mujoco_mpc_tpu.physics.model import load_model
+  model, mjm = load_model(xml_path, dtype=dtype)
+
+  if task == 'cartpole':
+    residual_fn = _cartpole_residual
+  elif task == 'acrobot':
+    residual_fn = _make_acrobot_residual(model)
+  elif task == 'swimmer':
+    residual_fn = _make_swimmer_residual(model)
+  elif task == 'walker':
+    residual_fn = _make_walker_residual(model)
+  else:
+    raise ValueError(task)
+
+  # reuse the registry's TaskSpec assembly (user sensors -> terms, custom
+  # numerics -> config/residual params)
+  spec = registry_mod._build(name, None, residual_fn, dtype=dtype,
+                             xml_path=xml_path)
+  return spec

@@ -45,12 +45,16 @@ def get_task(name: str) -> base.TaskSpec:
 
 
 def _build(name: str, xml: str, residual_fn, transition_fn=None,
-           dtype=jnp.float32, xml_string: str = None) -> base.TaskSpec:
-  """Assemble a TaskSpec from an MJCF file + residual function."""
+           dtype=jnp.float32, xml_string: str = None,
+           xml_path: str = None) -> base.TaskSpec:
+  """Assemble a TaskSpec from an MJCF file + residual function.
+
+  xml: filename relative to the built-in models dir; xml_path: absolute
+  path (e.g. a staged reference task.xml); xml_string: inline MJCF."""
   if xml_string is not None:
     model, mjm = load_model(xml_string=xml_string, dtype=dtype)
   else:
-    path = os.path.join(_MODELS_DIR, xml)
+    path = xml_path or os.path.join(_MODELS_DIR, xml)
     model, mjm = load_model(path, dtype=dtype)
   (term_names, norm_types, term_dims, weights, norm_params,
    weight_ranges) = base.parse_user_sensors(mjm)

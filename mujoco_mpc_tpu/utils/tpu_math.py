@@ -81,15 +81,17 @@ def axis_angle_to_quat(axis: jax.Array, angle: jax.Array) -> jax.Array:
 def quat_exp(phi: jax.Array) -> jax.Array:
   """Exponential map: rotation vector phi (3,) -> quaternion.
 
-  Safe at phi = 0 (uses the sinc expansion).
+  Safe at phi = 0 including second-order jvps: everything near zero is a
+  polynomial in sum(phi^2) (norm() itself has a NaN gradient at 0, which
+  nested jvps — e.g. the equality-constraint Jdot@qvel bias — would hit).
   """
-  angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+  sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+  small = sq < 1e-16
+  angle = jnp.sqrt(jnp.where(small, 1.0, sq))
   half = 0.5 * angle
-  # sin(half)/angle with series fallback near 0: 0.5 - angle^2/48
-  small = angle < 1e-8
-  k = jnp.where(small, 0.5 - angle * angle / 48.0,
-                jnp.sin(half) / jnp.maximum(angle, _EPS))
-  return jnp.concatenate([jnp.cos(half), phi * k], axis=-1)
+  w = jnp.where(small, 1.0 - sq / 8.0 + sq * sq / 384.0, jnp.cos(half))
+  k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+  return jnp.concatenate([w, phi * k], axis=-1)
 
 
 def quat_integrate(q: jax.Array, omega_local: jax.Array,

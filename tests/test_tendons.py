@@ -1,0 +1,149 @@
+"""Fixed tendons: lengths, coupling springs, limits, actuation — golden vs
+MuJoCo (reference gets tendons from mj_step; humanoid patch uses limited
+fixed tendons, panda patch a tendon actuator)."""
+
+import mujoco
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mujoco_mpc_tpu.physics import forward as fwd
+from mujoco_mpc_tpu.physics import smooth
+from mujoco_mpc_tpu.physics.model import make_data, put_model
+
+COUPLED = """
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.01"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0.4 0 0" mass="0.5"/>
+      <body pos="0.4 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.01"/>
+        <geom type="capsule" size="0.04" fromto="0 0 0 0.4 0 0" mass="0.3"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="hamstring" limited="true" range="-0.3 0.5">
+      <joint joint="j1" coef="0.5"/>
+      <joint joint="j2" coef="-0.5"/>
+    </fixed>
+    <fixed name="springy" stiffness="3.0" damping="0.2" springlength="0.1">
+      <joint joint="j1" coef="1.0"/>
+      <joint joint="j2" coef="0.4"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor joint="j1" gear="2" ctrlrange="-1 1" ctrllimited="true"/>
+  </actuator>
+  <sensor>
+    <tendonpos tendon="hamstring"/>
+    <tendonvel tendon="springy"/>
+  </sensor>
+</mujoco>
+"""
+
+TENDON_ACT = """
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j1" type="slide" axis="0 0 1" damping="0.5"/>
+      <geom type="box" size="0.05 0.05 0.05" mass="0.4"/>
+      <body pos="0.2 0 0">
+        <joint name="j2" type="slide" axis="0 0 1" damping="0.5"/>
+        <geom type="box" size="0.05 0.05 0.05" mass="0.4"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="split">
+      <joint joint="j1" coef="1.0"/>
+      <joint joint="j2" coef="1.0"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor tendon="split" gear="3" ctrlrange="-1 1" ctrllimited="true"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _setup(xml, qpos, qvel, ctrl):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = qpos
+  mjd.qvel[:] = qvel
+  mjd.ctrl[:] = ctrl
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(np.asarray(qpos, dtype=np.float64)),
+                qvel=jnp.asarray(np.asarray(qvel, dtype=np.float64)),
+                ctrl=jnp.asarray(np.asarray(ctrl, dtype=np.float64)))
+  return mjm, mjd, m, d
+
+
+def test_tendon_length_velocity():
+  mjm, mjd, m, d = _setup(COUPLED, [0.3, -0.2], [0.5, 0.8], [0.1])
+  mujoco.mj_forward(mjm, mjd)
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.ten_length), mjd.ten_length,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.ten_velocity), mjd.ten_velocity,
+                             atol=1e-12)
+  # tendonpos / tendonvel sensors
+  from mujoco_mpc_tpu.physics import sensors
+  sd = np.asarray(sensors.sensordata(m, d))
+  np.testing.assert_allclose(sd, mjd.sensordata, atol=1e-12)
+
+
+def test_tendon_spring_damper_force():
+  mjm, mjd, m, d = _setup(COUPLED, [0.3, -0.2], [0.5, 0.8], [0.0])
+  mujoco.mj_forward(mjm, mjd)
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qfrc_passive), mjd.qfrc_passive,
+                             atol=1e-10)
+
+
+def test_tendon_limit_trajectory():
+  """Drive the coupled arm into the tendon limit; trajectories match."""
+  mjm, mjd, m, d = _setup(COUPLED, [0.0, 0.0], [0.0, 0.0], [1.0])
+  step = jax.jit(fwd.step)
+  for _ in range(200):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d.replace(ctrl=jnp.asarray([1.0])))
+  # the hamstring tendon limit must have engaged
+  assert mjd.ten_length[0] > 0.3
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-6)
+
+
+def test_tendon_actuator():
+  mjm, mjd, m, d = _setup(TENDON_ACT, [0.0, 0.0], [0.0, 0.0], [0.7])
+  mujoco.mj_forward(mjm, mjd)
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.actuator_length),
+                             mjd.actuator_length, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(d.qfrc_actuator),
+                             mjd.qfrc_actuator, atol=1e-12)
+  step = jax.jit(fwd.step)
+  for _ in range(100):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+
+
+def test_spatial_tendon_rejected():
+  xml = """
+  <mujoco><worldbody>
+    <site name="a" pos="0 0 1"/>
+    <body pos="0 0 0.5"><joint type="slide" axis="0 0 1"/>
+      <geom type="sphere" size="0.05" mass="1"/><site name="b"/></body>
+  </worldbody>
+  <tendon><spatial name="sp"><site site="a"/><site site="b"/></spatial></tendon>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  with pytest.raises(NotImplementedError, match='spatial'):
+    put_model(mjm)
