@@ -102,6 +102,55 @@ def measure_cpu_baseline(t_steps: int) -> float:
   return plans_per_s
 
 
+def measure_extra_configs():
+  """p50 plan latency for the other BASELINE.md configs (ms)."""
+  import time as _time
+  import jax
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.ops import spline
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  out = {}
+  for task, ns, key in [('Quadruped Flat', 4096, 'quadruped_ps4096_p50_ms'),
+                        ('Humanoid Track', 512, 'humanoid_track_ps512_p50_ms'),
+                        ('Shadow Reorient', 8192, 'shadow_ps8192_p50_ms'),
+                        ('Cube Solving', 4096, 'rubik_ps4096_p50_ms')]:
+    try:
+      spec = registry.get_task(task)
+      m = spec.model
+      t_steps = agent_mod.horizon_steps(spec)
+      d0 = make_data(m)
+      if 'home' in m.keyframe_names:
+        d0 = d0.replace(qpos=m.key_qpos[m.keyframe_names.index('home')])
+      policy = sampling.default_policy(spec, SPLINE_POINTS)
+      cfg = sampling.default_config(spec)
+      params = spec.default_params
+
+      @jax.jit
+      def plan(pol, k, spec=spec, cfg=cfg, params=params, d0=d0, ns=ns,
+               t_steps=t_steps):
+        p, info = sampling.optimize(spec, pol, d0, params, cfg, k, ns,
+                                    t_steps, int(spline.Interp.ZERO))
+        return p, info['best_return']
+
+      k = jax.random.key(0)
+      r = plan(policy, k)
+      jax.block_until_ready(r)
+      lat = []
+      for _ in range(8):
+        t0 = _time.perf_counter()
+        r = plan(policy, k)
+        jax.block_until_ready(r)
+        lat.append(_time.perf_counter() - t0)
+      lat.sort()
+      out[key] = round(lat[len(lat) // 2] * 1e3, 1)
+    except Exception:
+      out[key] = -1.0
+  return out
+
+
 def main():
   plans_per_s, p50_ms, t_steps = measure_tpu_plans_per_s()
   try:
@@ -109,12 +158,17 @@ def main():
     vs = plans_per_s / baseline
   except Exception:
     vs = -1.0
+  try:
+    extra = measure_extra_configs()
+  except Exception:
+    extra = {}
   print(json.dumps({
       'metric': 'cartpole_ps8192_plan_iterations_per_s',
       'value': round(plans_per_s, 3),
       'unit': f'plans/s (8192 rollouts x {t_steps} steps; p50 '
               f'{round(p50_ms, 2)} ms)',
       'vs_baseline': round(vs, 3),
+      **extra,
   }))
 
 

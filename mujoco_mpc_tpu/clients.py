@@ -83,12 +83,19 @@ class Agent(_BaseClient):
   _SERVICES = 'agent'
 
   def __init__(self, task_id: str, planner_id: int = -1,
-               num_samples: int = 0, address: Optional[str] = None):
+               num_samples: int = 0, address: Optional[str] = None,
+               model_xml: Optional[str] = None,
+               model_mjb: Optional[bytes] = None):
     super().__init__(address)
     self.stub = ClientStub(self.channel, agent_service.SERVICE_NAME,
                            agent_service.METHODS)
-    self.stub.Init(agent_pb2.InitRequest(
-        task_id=task_id, planner_id=planner_id, num_samples=num_samples))
+    req = agent_pb2.InitRequest(
+        task_id=task_id, planner_id=planner_id, num_samples=num_samples)
+    if model_xml or model_mjb:
+      # inline model overriding the task's own (reference agent.proto Init)
+      req.model.CopyFrom(agent_pb2.MjModel(xml=model_xml or '',
+                                           mjb=model_mjb or b''))
+    self.stub.Init(req)
 
   def set_state(self, qpos=None, qvel=None, act=None, time=None,
                 mocap_pos=None, mocap_quat=None, ctrl=None):
@@ -168,6 +175,28 @@ class Agent(_BaseClient):
 
   def get_mode(self) -> int:
     return self.stub.GetMode(agent_pb2.GetModeRequest()).mode
+
+  def set_anything(self, qpos=None, qvel=None, time=None, parameters=None,
+                   cost_weights=None, mode=None, mocap=None):
+    """One-call state/parameter/weight/mode/mocap update (reference
+    agent.proto SetAnything). `mocap` maps body name -> (pos, quat)."""
+    req = agent_pb2.SetAnythingRequest()
+    if qpos is not None or qvel is not None or time is not None:
+      req.state.CopyFrom(agent_pb2.State(
+          qpos=list(np.ravel(qpos)) if qpos is not None else [],
+          qvel=list(np.ravel(qvel)) if qvel is not None else [],
+          time=time or 0.0))
+    for k, v in (parameters or {}).items():
+      req.parameters[k] = float(v)
+    for k, v in (cost_weights or {}).items():
+      req.cost_weights[k] = float(v)
+    if mode is not None:
+      req.mode = str(mode)
+    for name, (pos, quat) in (mocap or {}).items():
+      req.mocap[name].CopyFrom(agent_pb2.Pose(
+          pos=list(np.ravel(pos)) if pos is not None else [],
+          quat=list(np.ravel(quat)) if quat is not None else []))
+    self.stub.SetAnything(req)
 
   def apply_parameters(self, params: MjpcParameters):
     """Apply an MjpcParameters bundle (reference Agent usage pattern)."""
@@ -266,3 +295,19 @@ class Direct(_BaseClient):
     r = self.stub.Status(direct_pb2.DirectStatusRequest())
     return {'configuration_length': r.configuration_length,
             'initialized': r.initialized}
+
+  def noise(self, process=None, sensor=None):
+    """Get/set process+sensor noise variances (reference direct.proto
+    Noise; weights are reciprocals server-side)."""
+    r = self.stub.Noise(direct_pb2.DirectNoiseRequest(
+        process=list(np.ravel(process)) if process is not None else [],
+        sensor=list(np.ravel(sensor)) if sensor is not None else []))
+    return {'process': np.asarray(r.process), 'sensor': np.asarray(r.sensor)}
+
+  def reset(self):
+    self.stub.Reset(direct_pb2.DirectResetRequest())
+
+  def sensor_info(self):
+    r = self.stub.SensorInfo(direct_pb2.DirectSensorInfoRequest())
+    return {'dim': np.asarray(r.dim), 'adr': np.asarray(r.adr),
+            'name': list(r.name)}

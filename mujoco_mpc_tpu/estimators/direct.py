@@ -112,12 +112,22 @@ def residuals(p: DirectProblem, data: DirectData, z: jax.Array,
 
 def cost(p: DirectProblem, data: DirectData, z: jax.Array,
          settings: DirectSettings,
-         z_prior: Optional[jax.Array] = None) -> jax.Array:
+         z_prior: Optional[jax.Array] = None,
+         prior_diag: Optional[jax.Array] = None,
+         prior_off1: Optional[jax.Array] = None) -> jax.Array:
   r = residuals(p, data, z, settings)
   c = 0.5 * jnp.sum(r * r)
   if z_prior is not None:
     dz = z - z_prior
-    c = c + 0.5 * settings.prior_weight * jnp.sum(dz * dz)
+    if prior_diag is not None:
+      # band-structured prior 0.5 dz' P dz (reference batch.h:162
+      # weight_prior_, block-tridiagonal after DenseToBlockBand)
+      nv = p.model.nv
+      dzb = dz.reshape(p.horizon, nv)
+      c = c + 0.5 * jnp.einsum('ti,tij,tj->', dzb, prior_diag, dzb)
+      c = c + jnp.einsum('ti,tij,tj->', dzb[1:], prior_off1, dzb[:-1])
+    else:
+      c = c + 0.5 * settings.prior_weight * jnp.sum(dz * dz)
   return c
 
 
@@ -192,7 +202,10 @@ def _banded_normal_equations(p: DirectProblem, data: DirectData,
 
 def optimize(p: DirectProblem, data: DirectData, settings: DirectSettings,
              z0: Optional[jax.Array] = None,
-             z_prior: Optional[jax.Array] = None) -> Tuple[jax.Array, dict]:
+             z_prior: Optional[jax.Array] = None,
+             prior_diag: Optional[jax.Array] = None,
+             prior_off1: Optional[jax.Array] = None) -> Tuple[jax.Array,
+                                                              dict]:
   """Damped Gauss-Newton over the window (reference: Direct::Optimize)."""
   m = p.model
   nv = m.nv
@@ -208,8 +221,17 @@ def optimize(p: DirectProblem, data: DirectData, settings: DirectSettings,
     diag, off1, off2, g = _banded_normal_equations(p, data, z, settings)
     gb = g.reshape(T, nv)
     if z_prior is not None:
-      gb = gb + settings.prior_weight * (z - z_prior).reshape(T, nv)
-      diag = diag + settings.prior_weight * eye
+      dzb = (z - z_prior).reshape(T, nv)
+      if prior_diag is not None:
+        gb = gb + jnp.einsum('tij,tj->ti', prior_diag, dzb)
+        gb = gb.at[1:].add(jnp.einsum('tij,tj->ti', prior_off1, dzb[:-1]))
+        gb = gb.at[:-1].add(
+            jnp.einsum('tji,tj->ti', prior_off1, dzb[1:]))
+        diag = diag + prior_diag
+        off1 = off1 + prior_off1
+      else:
+        gb = gb + settings.prior_weight * dzb
+        diag = diag + settings.prior_weight * eye
     diag = diag + lam * eye
 
     # pad the window to an even block count for superblocking
@@ -226,7 +248,7 @@ def optimize(p: DirectProblem, data: DirectData, settings: DirectSettings,
       step = banded.block_pentadiag_solve(diag, off1, off2, gb).reshape(-1)
 
     def cost_of(zz):
-      return cost(p, data, zz, settings, z_prior)
+      return cost(p, data, zz, settings, z_prior, prior_diag, prior_off1)
 
     c0 = cost_of(z)
     alphas = jnp.array([1.0, 0.5, 0.25, 0.0625, 0.0], dtype=dtype)

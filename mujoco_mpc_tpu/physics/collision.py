@@ -47,6 +47,22 @@ def _make_frame(n: jax.Array):
   return t1, t2
 
 
+def _make_frames(n: jax.Array):
+  """Batched tangent bases for (P, 3) normals (mju_makeFrame semantics)."""
+  an = jnp.abs(n)
+  ex = jnp.array([1.0, 0.0, 0.0], n.dtype)
+  ey = jnp.array([0.0, 1.0, 0.0], n.dtype)
+  ez = jnp.array([0.0, 0.0, 1.0], n.dtype)
+  m01 = jnp.logical_and(an[:, 0] <= an[:, 1], an[:, 0] <= an[:, 2])
+  m12 = an[:, 1] <= an[:, 2]
+  e = jnp.where(m01[:, None], ex, jnp.where(m12[:, None], ey, ez))
+  t1 = jnp.cross(n, e)
+  t1 = t1 / jnp.maximum(
+      jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+  t2 = jnp.cross(n, t1)
+  return t1, t2
+
+
 def _plane_sphere(pp, pn, c, r):
   dist = jnp.dot(pn, c - pp) - r
   pos = c - pn * (r + 0.5 * dist)

@@ -77,41 +77,38 @@ def kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array):
 
 
 def _limit_rows(m: Model, d: Data) -> Rows | None:
-  """Joint-limit rows: 2 per limited scalar joint (lower, upper)."""
-  limited = [j for j in range(m.njnt)
-             if m.jnt_limited[j]
-             and m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
-  if not limited:
+  """Joint-limit rows: 2 per limited scalar joint (lower, upper).
+
+  Vectorized: rows = [all lower sides; all upper sides], Jacobian is a
+  static +/-1 one-hot matrix (the hot loop is dispatch-bound on TPU)."""
+  from mujoco_mpc_tpu.physics import structure
+
+  ids, qadr, dofadr = structure.scalar_joint_limits(
+      m.jnt_limited, m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+  nl = len(ids)
+  if nl == 0:
     return None
-  nv = m.nv
   dtype = d.qpos.dtype
 
-  js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
-  for j in limited:
-    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-    vel = d.qvel[dofadr]
-    for side in (0, 1):
-      if side == 0:
-        pos = d.qpos[qadr] - m.jnt_range[j, 0]
-        jac = jnp.zeros(nv, dtype=dtype).at[dofadr].set(1.0)
-        v = vel
-      else:
-        pos = m.jnt_range[j, 1] - d.qpos[qadr]
-        jac = jnp.zeros(nv, dtype=dtype).at[dofadr].set(-1.0)
-        v = -vel
-      pos = pos - m.jnt_margin[j]
-      k, b, imp = kbi(m.jnt_solref[j], m.jnt_solimp[j], pos)
-      aref = -b * v - k * imp * pos
-      dd = imp / (1.0 - imp) / jnp.maximum(m.dof_invweight0[dofadr], 1e-12)
-      js.append(jac)
-      poss.append(pos)
-      margins.append(m.jnt_margin[j])
-      arefs.append(aref)
-      ds.append(dd)
-      actives.append(pos < 0.0)
-  return Rows(jnp.stack(js), jnp.stack(poss), jnp.stack(margins),
-              jnp.stack(arefs), jnp.stack(ds), jnp.stack(actives),
-              jnp.zeros(len(js), dtype=bool))
+  q = d.qpos[qadr]                              # (L,)
+  v = d.qvel[dofadr]
+  rng = m.jnt_range[ids]                        # (L, 2)
+  margin = m.jnt_margin[ids]
+  pos = (jnp.concatenate([q - rng[:, 0], rng[:, 1] - q])
+         - jnp.tile(margin, 2))                 # (2L,)
+  vv = jnp.concatenate([v, -v])
+  solref = jnp.tile(m.jnt_solref[ids], (2, 1))
+  solimp = jnp.tile(m.jnt_solimp[ids], (2, 1))
+  k, b, imp = kbi(solref, solimp, pos)
+  aref = -b * vv - k * imp * pos
+  iw = jnp.tile(m.dof_invweight0[dofadr], 2)
+  dd = imp / (1.0 - imp) / jnp.maximum(iw, 1e-12)
+
+  jac_np = np.zeros((2 * nl, m.nv), dtype=np.float64)
+  jac_np[np.arange(nl), dofadr] = 1.0
+  jac_np[nl + np.arange(nl), dofadr] = -1.0
+  return Rows(jnp.asarray(jac_np, dtype=dtype), pos, jnp.tile(margin, 2),
+              aref, dd, pos < 0.0, jnp.zeros(2 * nl, dtype=bool))
 
 
 def _tendon_limit_rows(m: Model, d: Data) -> Rows | None:
@@ -389,19 +386,25 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
   padded to (8, 128) tiles — a 146x memory expansion that OOMed the
   Shadow-hand planner at 8192 samples.
   """
-  from mujoco_mpc_tpu.physics import collision, smooth
+  from mujoco_mpc_tpu.physics import collision, structure
 
   if not m.collision_pairs:
     return None
+  dtype = d.qpos.dtype
 
-  # per-point gathers, grouped by condim (static structure).
-  # groups[c] = dict of lists: jn, jt1, jt2, jrn, jrt1, jrt2, mu (3,), scal
+  # per-point gathers, grouped by condim (static structure). The per-pair
+  # narrowphase stays unrolled (each pair's geometry differs) but EVERY
+  # downstream quantity — tangent frames, K/B/impedance, point Jacobians —
+  # is stacked to (P, ...) first and computed batched: the hot loop is
+  # dispatch-bound on TPU, and per-point Jacobian assembly was the largest
+  # op-count contributor in contact-rich models.
   groups = {1: None, 3: None, 4: None, 6: None}
 
   def _group(c):
     if groups[c] is None:
       groups[c] = {k: [] for k in
-                   ('jn', 'jt1', 'jt2', 'jrn', 'jrt1', 'jrt2', 'mu', 'scal')}
+                   ('pos3', 'normal', 'dist', 'margin', 'solref', 'solimp',
+                    'mu', 'invw', 'b1', 'b2')}
     return groups[c]
 
   for (g1, g2) in m.collision_pairs:
@@ -410,73 +413,90 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
     if not points:
       continue
     b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
-    mu = params.friction                       # (3,) slide, torsion, roll
     condim = params.condim
     if condim not in (1, 3, 4, 6):
       raise NotImplementedError(f'contact condim {condim}')
+    g = _group(condim)
     for cp in points:
-      pos = cp.dist - params.includemargin
-      jacp1, jacr1 = smooth._body_jac(m, d, b1, cp.pos)
-      jacp2, jacr2 = smooth._body_jac(m, d, b2, cp.pos)
-      jp = jacp2 - jacp1                     # (nv, 3)
-      n = cp.normal
-      jn = jp @ n
-      k, b, imp = kbi(params.solref, params.solimp, pos)
-      if condim == 1:
-        dapprox = params.invweight
-      else:
-        dapprox = (params.invweight * 2.0 * mu[0] * mu[0]
-                   * (1.0 + mu[0] * mu[0]))
-      g = _group(condim)
-      g['scal'].append(jnp.stack([pos, params.includemargin + 0.0 * pos,
-                                  k * imp, b, imp, dapprox]))
-      g['jn'].append(jn)
-      if condim >= 3:
-        t1, t2 = collision._make_frame(n)
-        g['jt1'].append(jp @ t1)
-        g['jt2'].append(jp @ t2)
-        g['mu'].append(mu)
-        if condim >= 4:
-          jr = jacr2 - jacr1                 # (nv, 3)
-          g['jrn'].append(jr @ n)
-          if condim == 6:
-            g['jrt1'].append(jr @ t1)
-            g['jrt2'].append(jr @ t2)
+      g['pos3'].append(cp.pos)
+      g['normal'].append(cp.normal)
+      g['dist'].append(cp.dist)
+      g['margin'].append(params.includemargin)
+      g['solref'].append(params.solref)
+      g['solimp'].append(params.solimp)
+      g['mu'].append(params.friction)
+      g['invw'].append(params.invweight)
+      g['b1'].append(b1)
+      g['b2'].append(b2)
+
+  a_body = np.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
+  rootid = np.asarray(m.body_rootid, dtype=np.int32)
 
   blocks = []
   for condim, g in groups.items():
     if g is None:
       continue
-    jn = jnp.stack(g['jn'])                          # (P, nv)
-    sc = jnp.stack(g['scal'])                        # (P, 6)
+    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
+    normal = jnp.stack(g['normal'])
+    dist = jnp.stack(g['dist'])                      # (P,)
+    margin = jnp.stack(g['margin'])
+    solref = jnp.stack(g['solref'])                  # (P, 2)
+    solimp = jnp.stack(g['solimp'])                  # (P, 5)
+    mu = jnp.stack(g['mu'])                          # (P, 3)
+    invw = jnp.stack(g['invw'])
+    b1_arr = np.asarray(g['b1'], dtype=np.int32)
+    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+
+    pos = dist - margin
+    k, b, imp = kbi(solref, solimp, pos)             # (P,) each
+    if condim == 1:
+      dapprox = invw
+    else:
+      dapprox = invw * 2.0 * mu[:, 0] ** 2 * (1.0 + mu[:, 0] ** 2)
+
+    def batch_jac(bodies):
+      off = pos3 - d.subtree_com[rootid[bodies]]     # (P, 3)
+      jp = (d.cdof[None, :, 3:]
+            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+      mask = jnp.asarray(a_body[bodies], dtype=dtype)[:, :, None]
+      return jp * mask, d.cdof[None, :, :3] * mask   # (P, nv, 3) each
+
+    jp1, jr1 = batch_jac(b1_arr)
+    jp2, jr2 = batch_jac(b2_arr)
+    jp = jp2 - jp1                                   # (P, nv, 3)
+    jn = jnp.einsum('pns,ps->pn', jp, normal)        # (P, nv)
+
     if condim == 1:
       jmat, nrep = jn, 1
     else:
-      mu = jnp.stack(g['mu'])                        # (P, 3)
-      mus = mu[:, 0:1]                               # sliding
-      jt1 = jnp.stack(g['jt1'])
-      jt2 = jnp.stack(g['jt2'])
+      t1, t2 = collision._make_frames(normal)
+      mus = mu[:, 0:1]
+      jt1 = jnp.einsum('pns,ps->pn', jp, t1)
+      jt2 = jnp.einsum('pns,ps->pn', jp, t2)
       facets = [jn + mus * jt1, jn - mus * jt1,
                 jn + mus * jt2, jn - mus * jt2]
       if condim >= 4:
+        jr = jr2 - jr1
         mut = mu[:, 1:2]
-        jrn = jnp.stack(g['jrn'])
+        jrn = jnp.einsum('pns,ps->pn', jr, normal)
         facets += [jn + mut * jrn, jn - mut * jrn]
-      if condim == 6:
-        mur = mu[:, 2:3]
-        jrt1 = jnp.stack(g['jrt1'])
-        jrt2 = jnp.stack(g['jrt2'])
-        facets += [jn + mur * jrt1, jn - mur * jrt1,
-                   jn + mur * jrt2, jn - mur * jrt2]
+        if condim == 6:
+          mur = mu[:, 2:3]
+          jrt1 = jnp.einsum('pns,ps->pn', jr, t1)
+          jrt2 = jnp.einsum('pns,ps->pn', jr, t2)
+          facets += [jn + mur * jrt1, jn - mur * jrt1,
+                     jn + mur * jrt2, jn - mur * jrt2]
       jmat = jnp.concatenate(facets)                 # (nrep*P, nv)
       nrep = len(facets)
-    scr = jnp.tile(sc, (nrep, 1))
-    pos, margin, k_imp, b, imp, dapprox = (scr[:, 0], scr[:, 1], scr[:, 2],
-                                           scr[:, 3], scr[:, 4], scr[:, 5])
+
+    posr = jnp.tile(pos, nrep)
     vel = jmat @ d.qvel
-    blocks.append(Rows(jmat, pos, margin, -b * vel - k_imp * pos,
-                       imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12),
-                       pos < 0.0, jnp.zeros_like(pos, dtype=bool)))
+    blocks.append(Rows(
+        jmat, posr, jnp.tile(margin, nrep),
+        -jnp.tile(b, nrep) * vel - jnp.tile(k * imp, nrep) * posr,
+        jnp.tile(imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12), nrep),
+        posr < 0.0, jnp.zeros_like(posr, dtype=bool)))
   return _concat_rows(blocks)
 
 
@@ -512,38 +532,32 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
   if tolerance is None:
     tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
   if rows is None:
-    return d.replace(
-        qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype))
+    from mujoco_mpc_tpu.utils import tpu_math as _tm0
+    return d.replace(qfrc_constraint=_tm0.match_vma(
+        jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
 
   qm = d.qM
   j_mat = rows.j                       # (n, nv)
   dvec = jnp.where(rows.active, rows.d, 0.0)
   eq = rows.equality                   # two-sided rows: force for any jar
 
-  def force(qacc):
-    jar = j_mat @ qacc - rows.aref
-    # one-sided rows: force only when jar < 0; equality rows: always
-    return jnp.where(jnp.logical_or(jar < 0, eq), -dvec * jar, 0.0)
-
-  def grad(qacc):
-    return qm @ (qacc - qacc_smooth) - j_mat.T @ force(qacc)
-
-  def cost(qa):
-    jar = j_mat @ qa - rows.aref
-    pen = jnp.where(jnp.logical_or(jar < 0, eq), dvec, 0.0)
-    dq = qa - qacc_smooth
-    return 0.5 * dq @ (qm @ dq) + 0.5 * jnp.sum(pen * jar * jar)
-
+  # The loop carries jar = J qacc - aref so the big (n, nv) reductions run
+  # ONCE per iteration: the line search is evaluated EXACTLY along the
+  # step direction (jar(alpha) = jar - alpha*J step; the cost is quadratic
+  # + piecewise penalty in alpha), instead of re-multiplying J and M into
+  # each candidate — profiled on TPU, the per-candidate matmuls were ~40%
+  # of the Newton cost.
   def cond(carry):
-    qacc, it, done, _ = carry
+    _, _, it, done, _ = carry
     return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
 
   def body(carry):
-    qacc, it, _, prev_exact = carry
-    g = grad(qacc)
-    jar = j_mat @ qacc - rows.aref
+    qacc, jar, it, _, prev_exact = carry
     active = jnp.logical_or(jar < 0, eq)
     w = jnp.where(active, dvec, 0.0)
+    e = qacc - qacc_smooth
+    me = qm @ e
+    g = me + j_mat.T @ (w * jar)
     h = qm + (j_mat.T * w) @ j_mat
     h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
     # SPD solve: vmapped call sites dispatch the fused lane-batched Pallas
@@ -554,29 +568,43 @@ def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
         solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
         symmetric=True)
 
-    c0 = cost(qacc)
-    alphas = jnp.array([1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
-    cands = qacc[None, :] - alphas[:, None] * step[None, :]
-    costs = jax.vmap(cost)(cands)
+    js = j_mat @ step                  # (n,) — the one J reduction
+    sme = step @ me
+    sms = step @ (qm @ step)
+    eme = e @ me
+    alphas = jnp.array([0.0, 1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
+    jar_c = jar[None, :] - alphas[:, None] * js[None, :]   # (A, n)
+    pen_c = jnp.where(jnp.logical_or(jar_c < 0, eq[None, :]),
+                      dvec[None, :], 0.0)
+    costs = (0.5 * eme - alphas * sme + 0.5 * alphas * alphas * sms
+             + 0.5 * jnp.sum(pen_c * jar_c * jar_c, axis=-1))
     best = jnp.argmin(costs)
-    qacc_new = jnp.where(costs[best] < c0, cands[best], qacc)
+    alpha = alphas[best]
+    qacc_new = qacc - alpha * step
+    jar_new = jar - alpha * js
     # convergence: the cost is piecewise quadratic in qacc, so once the
     # full Newton step is taken with an unchanged active set, qacc_new is
     # the KKT point of the convex problem up to the tiny Hessian damping
     # (which matters for ill-conditioned mass matrices). TWO consecutive
     # stable-active-set full steps leave only O(damping^2) error — exit
     # then, or on a small step (truncated-step fallback).
-    new_active = jnp.logical_or((j_mat @ qacc_new - rows.aref) < 0, eq)
-    exact = jnp.logical_and(best == 0,
+    new_active = jnp.logical_or(jar_new < 0, eq)
+    exact = jnp.logical_and(best == 1,
                             jnp.all(new_active == active))
     small = (jnp.linalg.norm(step)
              <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
     done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
-    return (qacc_new, it + 1, done, exact)
+    return (qacc_new, jar_new, it + 1, done, exact)
 
-  init = (qacc_smooth, jnp.array(0, dtype=jnp.int32), jnp.array(False),
-          jnp.array(False))
-  qacc, _, _, _ = jax.lax.while_loop(cond, body, init)
-  f = force(qacc)
+  jar0 = j_mat @ qacc_smooth - rows.aref
+  # fresh booleans must match the carry's varying-manual-axes type when
+  # the solve runs inside shard_map (tpu_math.match_vma is a no-op
+  # elsewhere)
+  from mujoco_mpc_tpu.utils import tpu_math as _tm
+  false0 = _tm.match_vma(jnp.array(False), qacc_smooth)
+  init = (qacc_smooth, jar0, jnp.array(0, dtype=jnp.int32),
+          false0, false0)
+  qacc, jar, _, _, _ = jax.lax.while_loop(cond, body, init)
+  f = jnp.where(jnp.logical_or(jar < 0, eq), -dvec * jar, 0.0)
   qfrc_constraint = j_mat.T @ f
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mujoco_mpc_tpu.ops import linalg
+from mujoco_mpc_tpu.ops import linalg  # noqa: F401 (unbatched fallback)
+from mujoco_mpc_tpu.ops import pallas_linalg
 from mujoco_mpc_tpu.physics import constraint
 from mujoco_mpc_tpu.physics import fluid as fluid_mod
 from mujoco_mpc_tpu.physics import kinematics as kin
@@ -22,8 +23,17 @@ from mujoco_mpc_tpu.utils import tpu_math as tm
 
 
 def _solve_m(qm: jax.Array, rhs: jax.Array) -> jax.Array:
-  """Solve M x = rhs with dense Cholesky (M is SPD, nv x nv, small)."""
-  return linalg.solve_spd(qm, rhs)
+  """Solve M x = rhs with dense Cholesky (M is SPD, nv x nv, small).
+
+  Routed through the custom_vmap dispatcher: unbatched calls use the
+  unrolled XLA path, vmapped rollouts the fused lane-batched Pallas kernel
+  (measured: the unrolled path's ~nv^2 dispatched ops were +148 ms of the
+  4096x36 quadruped rollout). custom_linear_solve keeps autodiff on the
+  implicit-function rule instead of differentiating the kernel."""
+  return jax.lax.custom_linear_solve(
+      lambda v: qm @ v, rhs,
+      solve=lambda _mv, b: pallas_linalg.solve_spd(qm, b),
+      symmetric=True)
 
 
 def fwd_position(m: Model, d: Data) -> Data:
@@ -60,7 +70,8 @@ def forward(m: Model, d: Data) -> Data:
   d = fwd_velocity(m, d)
   d = fwd_actuation(m, d)
   d = smooth.crb(m, d)
-  d = d.replace(qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype))
+  d = d.replace(qfrc_constraint=tm.match_vma(
+      jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
   d = fwd_acceleration(m, d)  # qacc_smooth
   rows = constraint.make_rows(m, d)
   d = constraint.solve(m, d, rows)
@@ -69,24 +80,22 @@ def forward(m: Model, d: Data) -> Data:
 
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                   dt) -> jax.Array:
-  """qpos <- qpos ⊕ qvel * dt on the configuration manifold."""
+  """qpos <- qpos ⊕ qvel * dt on the configuration manifold.
+
+  Vectorized over joints: 1-D coordinates in one scatter-add, quaternion
+  blocks in one batched quat_integrate (static maps, structure.py)."""
+  from mujoco_mpc_tpu.physics import structure
+
+  if m.njnt == 0:
+    return qpos
+  sq, sd, _, quat_q, quat_d, qj = structure.joint_coords(
+      m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
   out = qpos
-  for j in range(m.njnt):
-    jtype = m.jnt_type[j]
-    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-    if jtype == JointType.FREE:
-      out = out.at[qadr:qadr + 3].add(qvel[dofadr:dofadr + 3] * dt)
-      quat = tm.quat_integrate(
-          jax.lax.dynamic_slice(qpos, (qadr + 3,), (4,)),
-          qvel[dofadr + 3:dofadr + 6], dt)
-      out = jax.lax.dynamic_update_slice(out, quat, (qadr + 3,))
-    elif jtype == JointType.BALL:
-      quat = tm.quat_integrate(
-          jax.lax.dynamic_slice(qpos, (qadr,), (4,)),
-          qvel[dofadr:dofadr + 3], dt)
-      out = jax.lax.dynamic_update_slice(out, quat, (qadr,))
-    else:
-      out = out.at[qadr].add(qvel[dofadr] * dt)
+  if len(sq):
+    out = out.at[sq].add(qvel[sd] * dt)
+  if len(qj):
+    newq = tm.quat_integrate(qpos[quat_q], qvel[quat_d], dt)
+    out = out.at[quat_q.reshape(-1)].set(newq.reshape(-1))
   return out
 
 

@@ -12,68 +12,91 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.physics.model import Data, JointType, Model
 from mujoco_mpc_tpu.utils import tpu_math as tm
 
 
 def kinematics(m: Model, d: Data) -> Data:
-  """Compute global body/geom/site frames from qpos (analog: mj_kinematics)."""
+  """Compute global body/geom/site frames from qpos (analog: mj_kinematics).
+
+  Level-batched: bodies at the same tree depth compose their frames from
+  already-computed parent frames in ONE batch of quaternion ops (static
+  level plan in physics/structure.py) — the rollout hot loop is
+  dispatch-bound on TPU, so op count per step, not FLOPs, is the cost."""
+  from mujoco_mpc_tpu.physics import structure
+
   qpos = d.qpos
+  dtype = qpos.dtype
 
-  xpos = [jnp.zeros(3, dtype=qpos.dtype)]
-  xquat = [jnp.array([1.0, 0, 0, 0], dtype=qpos.dtype)]
-  xanchor = [None] * m.njnt
-  xaxis = [None] * m.njnt
+  xpos = jnp.zeros((m.nbody, 3), dtype=dtype)
+  xquat = jnp.zeros((m.nbody, 4), dtype=dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype=dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype=dtype)
 
-  for b in range(1, m.nbody):
-    p = m.body_parentid[b]
-    jntadr, jntnum = m.body_jntadr[b], m.body_jntnum[b]
-    mocapid = m.body_mocapid[b]
+  plans = structure.kinematic_levels(
+      m.body_parentid, m.body_jntadr, m.body_jntnum, m.body_mocapid,
+      m.jnt_type, m.jnt_qposadr)
 
-    if jntnum == 1 and m.jnt_type[jntadr] == JointType.FREE:
-      # free joint: position fully from qpos
-      qadr = m.jnt_qposadr[jntadr]
-      pos = qpos[qadr:qadr + 3]
-      quat = tm.quat_normalize(qpos[qadr + 3:qadr + 7])
-      xanchor[jntadr] = pos
-      xaxis[jntadr] = m.jnt_axis[jntadr]
-    else:
-      if mocapid >= 0:
-        # mocap body: frame set directly from mocap arrays
-        pos = d.mocap_pos[mocapid]
-        quat = tm.quat_normalize(d.mocap_quat[mocapid])
-      else:
-        pos = xpos[p] + tm.quat_rot(xquat[p], m.body_pos[b])
-        quat = tm.quat_mul(xquat[p], m.body_quat[b])
+  for plan in plans:
+    bodies = plan.bodies
+    par = plan.parents
+    p_pos = xpos[par]
+    p_quat = xquat[par]
+    pos = p_pos + tm.quat_rot(p_quat, m.body_pos[bodies])
+    quat = tm.quat_mul(p_quat, m.body_quat[bodies])
 
-      for j in range(jntadr, jntadr + jntnum):
-        qadr = m.jnt_qposadr[j]
-        jtype = m.jnt_type[j]
-        anchor = pos + tm.quat_rot(quat, m.jnt_pos[j])
-        axis = tm.quat_rot(quat, m.jnt_axis[j])
-        xanchor[j] = anchor
-        xaxis[j] = axis
+    if plan.free_pos:
+      idx = np.asarray([i for i, _, _ in plan.free_pos], dtype=np.int32)
+      jids = np.asarray([j for _, j, _ in plan.free_pos], dtype=np.int32)
+      qadr = np.asarray([q for _, _, q in plan.free_pos], dtype=np.int32)
+      fpos = qpos[qadr[:, None] + np.arange(3)]          # (F, 3)
+      fquat = tm.quat_normalize(qpos[qadr[:, None] + 3 + np.arange(4)])
+      pos = pos.at[idx].set(fpos)
+      quat = quat.at[idx].set(fquat)
+      xanchor = xanchor.at[jids].set(fpos)
+      xaxis = xaxis.at[jids].set(m.jnt_axis[jids])
 
-        if jtype == JointType.BALL:
-          qloc = tm.quat_normalize(
-              jax.lax.dynamic_slice(qpos, (qadr,), (4,)))
-          quat = tm.quat_mul(quat, qloc)
-          # keep the anchor point fixed under the rotation
-          pos = anchor - tm.quat_rot(quat, m.jnt_pos[j])
-        elif jtype == JointType.SLIDE:
-          pos = pos + axis * (qpos[qadr] - m.qpos0[qadr])
+    if plan.mocap:
+      idx = np.asarray([i for i, _ in plan.mocap], dtype=np.int32)
+      mids = np.asarray([mid for _, mid in plan.mocap], dtype=np.int32)
+      pos = pos.at[idx].set(d.mocap_pos[mids])
+      quat = quat.at[idx].set(tm.quat_normalize(d.mocap_quat[mids]))
+
+    for slot in plan.slots:
+      for jtype, entries in slot.items():
+        idx = np.asarray([i for i, _, _ in entries], dtype=np.int32)
+        jids = np.asarray([j for _, j, _ in entries], dtype=np.int32)
+        qadr = np.asarray([q for _, _, q in entries], dtype=np.int32)
+        jpos = m.jnt_pos[jids]                           # (K, 3)
+        jaxis = m.jnt_axis[jids]
+        q_k = quat[idx]
+        anchor = pos[idx] + tm.quat_rot(q_k, jpos)
+        axis = tm.quat_rot(q_k, jaxis)
+        xanchor = xanchor.at[jids].set(anchor)
+        xaxis = xaxis.at[jids].set(axis)
+
+        if jtype == JointType.SLIDE:
+          disp = (qpos[qadr] - m.qpos0[qadr])[:, None]
+          pos = pos.at[idx].add(axis * disp)
         elif jtype == JointType.HINGE:
           angle = qpos[qadr] - m.qpos0[qadr]
-          qloc = tm.axis_angle_to_quat(m.jnt_axis[j], angle)
-          quat = tm.quat_mul(quat, qloc)
-          pos = anchor - tm.quat_rot(quat, m.jnt_pos[j])
+          qloc = tm.axis_angle_to_quat(jaxis, angle)
+          q_new = tm.quat_mul(q_k, qloc)
+          quat = quat.at[idx].set(q_new)
+          pos = pos.at[idx].set(anchor - tm.quat_rot(q_new, jpos))
+        elif jtype == JointType.BALL:
+          qloc = tm.quat_normalize(qpos[qadr[:, None] + np.arange(4)])
+          q_new = tm.quat_mul(q_k, qloc)
+          quat = quat.at[idx].set(q_new)
+          pos = pos.at[idx].set(anchor - tm.quat_rot(q_new, jpos))
+        else:
+          raise NotImplementedError(f'joint type {jtype} in level plan')
 
-    xpos.append(pos)
-    xquat.append(tm.quat_normalize(quat))
+    xpos = xpos.at[bodies].set(pos)
+    xquat = xquat.at[bodies].set(tm.quat_normalize(quat))
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
   xmat = tm.quat_to_mat(xquat)
 
   # inertial frames
@@ -100,111 +123,76 @@ def kinematics(m: Model, d: Data) -> Data:
   else:
     site_xpos, site_xmat = d.site_xpos, d.site_xmat
 
-  xanchor_arr = (jnp.stack(xanchor) if m.njnt
-                 else jnp.zeros((0, 3), dtype=qpos.dtype))
-  xaxis_arr = (jnp.stack(xaxis) if m.njnt
-               else jnp.zeros((0, 3), dtype=qpos.dtype))
-
   return d.replace(
       xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
-      xanchor=xanchor_arr, xaxis=xaxis_arr,
+      xanchor=xanchor, xaxis=xaxis,
       geom_xpos=geom_xpos, geom_xmat=geom_xmat,
       site_xpos=site_xpos, site_xmat=site_xmat)
 
 
 def com_pos(m: Model, d: Data) -> Data:
-  """Subtree com, com-based spatial inertias and motion dofs (mj_comPos)."""
+  """Subtree com, com-based spatial inertias and motion dofs (mj_comPos).
+
+  Fully vectorized: subtree accumulation is one matmul against a static
+  ancestor mask, and cdof assembly is a handful of batched gathers (the
+  rollout hot loop is dispatch-bound on TPU — see physics/structure.py)."""
+  from mujoco_mpc_tpu.physics import structure
+
   dtype = d.qpos.dtype
 
-  # subtree center of mass: backward accumulation of mass-weighted com
+  # subtree center of mass: D @ (mass-weighted com)
+  d_sub = jnp.asarray(structure.subtree_mask(m.body_parentid), dtype)
   mass_x = m.body_mass[:, None] * d.xipos  # (nbody, 3)
-  sub_massx = [mass_x[b] for b in range(m.nbody)]
-  sub_mass = [m.body_mass[b] for b in range(m.nbody)]
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    sub_massx[p] = sub_massx[p] + sub_massx[b]
-    sub_mass[p] = sub_mass[p] + sub_mass[b]
-  subtree_com = jnp.stack(
-      [sub_massx[b] / jnp.maximum(sub_mass[b], 1e-12)
-       for b in range(m.nbody)])
+  sub_massx = d_sub @ mass_x
+  sub_mass = d_sub @ m.body_mass
+  subtree_com = sub_massx / jnp.maximum(sub_mass, 1e-12)[:, None]
 
   # spatial inertia of each body about the com of its kinematic tree root
+  # (quaternion-native: avoids slicing a batched (nbody, 3, 3) tensor,
+  # which profiled as the most expensive op of the whole rollout step)
   root_com = subtree_com[jnp.array(m.body_rootid)]
-  cinert = jax.vmap(tm.inert_from_body)(
-      m.body_mass, m.body_inertia, d.ximat, d.xipos, root_com)
+  xiquat = tm.quat_mul(d.xquat, m.body_iquat)
+  cinert = tm.inert_from_body_quat(
+      m.body_mass, m.body_inertia, xiquat, d.xipos, root_com)
 
-  # motion dofs (cdof), frame origin = subtree_com[rootid(body)]
-  cdof = []
-  for j in range(m.njnt):
-    b = m.jnt_bodyid[j]
-    origin = subtree_com[m.body_rootid[b]]
-    jtype = m.jnt_type[j]
-    if jtype == JointType.FREE:
-      for k in range(3):
-        e = jnp.zeros(3, dtype=dtype).at[k].set(1.0)
-        cdof.append(jnp.concatenate([jnp.zeros(3, dtype=dtype), e]))
-      # rotational dofs about the body frame origin, axes = body frame axes
-      offset = origin - d.xpos[b]
-      for k in range(3):
-        ax = d.xmat[b, :, k]
-        cdof.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-    elif jtype == JointType.BALL:
-      offset = origin - d.xanchor[j]
-      for k in range(3):
-        ax = d.xmat[b, :, k]
-        cdof.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-    elif jtype == JointType.SLIDE:
-      cdof.append(jnp.concatenate([jnp.zeros(3, dtype=dtype), d.xaxis[j]]))
-    else:  # hinge
-      offset = origin - d.xanchor[j]
-      ax = d.xaxis[j]
-      cdof.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-  cdof = (jnp.stack(cdof) if cdof
-          else jnp.zeros((0, 6), dtype=dtype))
+  # motion dofs (cdof), frame origin = subtree_com[rootid(body)]:
+  # ang/lin parts gathered from candidate tables with static indices
+  if m.nv:
+    ang_idx, pt_idx, lin_idx, dof_rootid = structure.cdof_gather(
+        m.body_parentid, m.body_rootid, m.body_jntadr, m.body_jntnum,
+        m.jnt_type, m.jnt_dofadr, m.jnt_bodyid, m.nv)
+    xmat_cols = jnp.swapaxes(d.xmat, -1, -2).reshape(-1, 3)
+    zero3 = jnp.zeros((1, 3), dtype=dtype)
+    ang = jnp.concatenate([zero3, d.xaxis, xmat_cols], 0)[ang_idx]
+    pt = jnp.concatenate([zero3, d.xanchor, d.xpos], 0)[pt_idx]
+    linc = jnp.concatenate([zero3, d.xaxis,
+                            jnp.eye(3, dtype=dtype)], 0)[lin_idx]
+    origin = subtree_com[dof_rootid]
+    cdof = jnp.concatenate([ang, jnp.cross(ang, origin - pt) + linc], -1)
+  else:
+    cdof = jnp.zeros((0, 6), dtype=dtype)
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
 def com_vel(m: Model, d: Data) -> Data:
-  """Body spatial velocities and cdof time-derivatives (mj_comVel)."""
+  """Body spatial velocities and cdof time-derivatives (mj_comVel).
+
+  cvel and the per-dof velocity entering cdof_dot are matmuls against
+  static ancestor masks (ordering semantics in structure.dof_vel_mask)."""
+  from mujoco_mpc_tpu.physics import structure
+
   dtype = d.qpos.dtype
-  cvel = [jnp.zeros(6, dtype=dtype)]
-  cdof_dot = [None] * m.nv
-
-  for b in range(1, m.nbody):
-    p = m.body_parentid[b]
-    v = cvel[p]
-    dofadr, dofnum = m.body_dofadr[b], m.body_dofnum[b]
-    # process this body's dofs in order, accumulating velocity
-    j = m.body_jntadr[b]
-    i = dofadr
-    while i < dofadr + dofnum:
-      jtype = m.jnt_type[m.dof_jntid[i]]
-      if jtype == JointType.FREE:
-        # translation dofs: cdof constant, cdof_dot = 0
-        for k in range(3):
-          cdof_dot[i + k] = jnp.zeros(6, dtype=dtype)
-        v = v + d.cdof[i] * d.qvel[i] + d.cdof[i + 1] * d.qvel[i + 1] \
-            + d.cdof[i + 2] * d.qvel[i + 2]
-        # rotation dofs: d/dt cdof = v x cdof (v: velocity incl. translation)
-        for k in range(3, 6):
-          cdof_dot[i + k] = tm.motion_cross(v, d.cdof[i + k])
-        for k in range(3, 6):
-          v = v + d.cdof[i + k] * d.qvel[i + k]
-        i += 6
-      elif jtype == JointType.BALL:
-        for k in range(3):
-          cdof_dot[i + k] = tm.motion_cross(v, d.cdof[i + k])
-        for k in range(3):
-          v = v + d.cdof[i + k] * d.qvel[i + k]
-        i += 3
-      else:  # hinge / slide: single dof
-        cdof_dot[i] = tm.motion_cross(v, d.cdof[i])
-        v = v + d.cdof[i] * d.qvel[i]
-        i += 1
-    cvel.append(v)
-
-  cvel = jnp.stack(cvel)
-  cdof_dot = (jnp.stack(cdof_dot) if m.nv
-              else jnp.zeros((0, 6), dtype=dtype))
+  if m.nv == 0:
+    return d.replace(cvel=jnp.zeros((m.nbody, 6), dtype=dtype),
+                     cdof_dot=jnp.zeros((0, 6), dtype=dtype))
+  a_body = jnp.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv), dtype)
+  v_dof = jnp.asarray(structure.dof_vel_mask(
+      m.body_parentid, m.body_jntadr, m.body_jntnum, m.jnt_type,
+      m.jnt_dofadr, m.nv), dtype)
+  cdof_qvel = d.cdof * d.qvel[:, None]     # (nv, 6)
+  cvel = a_body @ cdof_qvel                # (nbody, 6)
+  v_at = v_dof @ cdof_qvel                 # (nv, 6)
+  cdof_dot = tm.motion_cross(v_at, d.cdof)
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)

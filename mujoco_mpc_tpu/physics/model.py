@@ -132,6 +132,7 @@ class Model:
   dof_parentid: Tuple[int, ...] = _static(())
   geom_type: Tuple[int, ...] = _static(())
   geom_bodyid: Tuple[int, ...] = _static(())
+  geom_group: Tuple[int, ...] = _static(())
   geom_condim: Tuple[int, ...] = _static(())
   geom_priority: Tuple[int, ...] = _static(())
   # static candidate collision pairs (geom1, geom2), prefiltered
@@ -482,6 +483,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       dof_parentid=t(mj.dof_parentid),
       geom_type=tuple(geom_type),
       geom_bodyid=t(mj.geom_bodyid),
+      geom_group=t(mj.geom_group),
       geom_condim=t(mj.geom_condim),
       geom_priority=t(mj.geom_priority),
       collision_pairs=tuple(pairs),

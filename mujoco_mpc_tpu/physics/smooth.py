@@ -20,20 +20,21 @@ from mujoco_mpc_tpu.utils import tpu_math as tm
 
 
 def crb(m: Model, d: Data) -> Data:
-  """Composite-rigid-body mass matrix, dense (analog: mj_crb)."""
-  # backward accumulation of composite inertias
-  crb_inert = [d.cinert[b] for b in range(m.nbody)]
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    if p > 0:
-      crb_inert[p] = crb_inert[p] + crb_inert[b]
+  """Composite-rigid-body mass matrix, dense (analog: mj_crb).
+
+  Subtree inertia accumulation is one matmul against a static ancestor
+  mask (physics/structure.py) — the hot loop is dispatch-bound on TPU."""
+  from mujoco_mpc_tpu.physics import structure
 
   if m.nv == 0:
     return d
+  dtype = d.qpos.dtype
+  d_sub = jnp.asarray(structure.subtree_mask(m.body_parentid), dtype)
+  crb_inert = d_sub @ d.cinert                        # (nbody, 10)
 
   # F[i] = I^C_{body(i)} * cdof[i]
-  crb_dof = jnp.stack([crb_inert[m.dof_bodyid[i]] for i in range(m.nv)])
-  f = jax.vmap(tm.inert_vec)(crb_dof, d.cdof)  # (nv, 6)
+  dof_body = structure.dof_body_gather(m.dof_bodyid)
+  f = tm.inert_vec(crb_inert[dof_body], d.cdof)       # (nv, 6)
 
   # M[i, j] = cdof[j] . F[i] for j ancestor-or-self of i; symmetrize
   lower = (f @ d.cdof.T) * m.dof_ancestor_mask
@@ -43,36 +44,31 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def rne(m: Model, d: Data) -> Data:
-  """Bias force C(q,qvel)*qvel + gravity via recursive Newton-Euler (mj_rne)."""
+  """Bias force C(q,qvel)*qvel + gravity via recursive Newton-Euler (mj_rne).
+
+  Forward (cacc) and backward (cfrc) tree recursions are matmuls against
+  static ancestor/subtree masks (physics/structure.py)."""
+  from mujoco_mpc_tpu.physics import structure
+
   dtype = d.qpos.dtype
   if m.nv == 0:
     return d
 
+  a_body = jnp.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv), dtype)
+  d_sub = jnp.asarray(structure.subtree_mask(m.body_parentid), dtype)
+  dof_body = structure.dof_body_gather(m.dof_bodyid)
+
   # frame acceleration: world "accelerates" opposite to gravity
-  cacc = [jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])]
-  for b in range(1, m.nbody):
-    p = m.body_parentid[b]
-    a = cacc[p]
-    dofadr, dofnum = m.body_dofadr[b], m.body_dofnum[b]
-    for i in range(dofadr, dofadr + dofnum):
-      a = a + d.cdof_dot[i] * d.qvel[i]
-    cacc.append(a)
+  base = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])
+  cacc = base + a_body @ (d.cdof_dot * d.qvel[:, None])  # (nbody, 6)
 
-  # body inertial forces: f = I a + v x* (I v)
-  cfrc = []
-  for b in range(m.nbody):
-    iv = tm.inert_vec(d.cinert[b], d.cvel[b])
-    f = tm.inert_vec(d.cinert[b], cacc[b]) + tm.force_cross(d.cvel[b], iv)
-    cfrc.append(f)
+  # body inertial forces f = I a + v x* (I v), then subtree accumulation
+  iv = tm.inert_vec(d.cinert, d.cvel)
+  cfrc = tm.inert_vec(d.cinert, cacc) + tm.force_cross(d.cvel, iv)
+  cfrc_total = d_sub @ cfrc                              # (nbody, 6)
 
-  # backward accumulation
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    if p > 0:
-      cfrc[p] = cfrc[p] + cfrc[b]
-
-  qfrc_bias = jnp.stack(
-      [jnp.dot(d.cdof[i], cfrc[m.dof_bodyid[i]]) for i in range(m.nv)])
+  qfrc_bias = jnp.einsum('ij,ij->i', d.cdof, cfrc_total[dof_body])
   return d.replace(qfrc_bias=qfrc_bias)
 
 
@@ -105,25 +101,18 @@ def passive(m: Model, d: Data) -> Data:
     frc = m.tendon_stiffness * displacement - m.tendon_damping * vel
     qfrc = qfrc + m.ten_moment.T @ frc
 
-  for j in range(m.njnt):
-    # static skip of zero-stiffness joints keeps the graph small
-    stiffness = m.jnt_stiffness[j]
-    qadr, dofadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-    jtype = m.jnt_type[j]
-    if jtype == JointType.FREE:
-      dif = d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]
-      qfrc = qfrc.at[dofadr:dofadr + 3].add(-stiffness * dif)
-      rot = tm.quat_sub(d.qpos[qadr + 3:qadr + 7],
-                        m.qpos_spring[qadr + 3:qadr + 7])
-      qfrc = qfrc.at[dofadr + 3:dofadr + 6].add(-stiffness * rot)
-    elif jtype == JointType.BALL:
-      rot = tm.quat_sub(
-          jax.lax.dynamic_slice(d.qpos, (qadr,), (4,)),
-          jax.lax.dynamic_slice(m.qpos_spring, (qadr,), (4,)))
-      qfrc = qfrc.at[dofadr:dofadr + 3].add(-stiffness * rot)
-    else:
-      dif = d.qpos[qadr] - m.qpos_spring[qadr]
-      qfrc = qfrc.at[dofadr].add(-stiffness * dif)
+  # joint springs, vectorized over joints with static coordinate maps
+  if m.njnt:
+    from mujoco_mpc_tpu.physics import structure
+    sq, sd, sj, quat_q, quat_d, qj = structure.joint_coords(
+        m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+    if len(sq):
+      dif = d.qpos[sq] - m.qpos_spring[sq]
+      qfrc = qfrc.at[sd].add(-m.jnt_stiffness[sj] * dif)
+    if len(qj):
+      rot = tm.quat_sub(d.qpos[quat_q], m.qpos_spring[quat_q])   # (n, 3)
+      qfrc = qfrc.at[quat_d.reshape(-1)].add(
+          (-m.jnt_stiffness[qj][:, None] * rot).reshape(-1))
 
   return d.replace(qfrc_passive=qfrc.astype(dtype))
 
@@ -154,6 +143,58 @@ def transmission(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   if m.nu == 0:
     return d
+
+  # fast path: no SITE transmissions -> length/moment are static gathers
+  # and a constant selection tensor (dispatch-bound hot loop, see
+  # physics/structure.py); SITE needs per-site point Jacobians and keeps
+  # the unrolled path below
+  if all(t in (TrnType.JOINT, TrnType.TENDON) for t in m.actuator_trntype):
+    sel = np.zeros((m.nu, m.nv, 6), dtype=np.float64)   # moment selector
+    qadr_arr = np.zeros(m.nu, dtype=np.int32)
+    scalar_mask = np.zeros(m.nu, dtype=np.float64)
+    ten_sel = np.zeros((m.nu, m.ntendon), dtype=np.float64)
+    ten_idx = np.zeros(m.nu, dtype=np.int32)
+    ten_mask = np.zeros(m.nu, dtype=np.float64)
+    for u in range(m.nu):
+      if m.actuator_trntype[u] == TrnType.JOINT:
+        j = m.actuator_trnid[u]
+        jtype = m.jnt_type[j]
+        dofadr = m.jnt_dofadr[j]
+        if jtype in (JointType.HINGE, JointType.SLIDE):
+          sel[u, dofadr, 0] = 1.0
+          qadr_arr[u] = m.jnt_qposadr[j]
+          scalar_mask[u] = 1.0
+        elif jtype == JointType.BALL:
+          for k in range(3):
+            sel[u, dofadr + k, k] = 1.0
+        else:  # free
+          for k in range(6):
+            sel[u, dofadr + k, k] = 1.0
+      else:  # tendon
+        ti = m.actuator_trnid[u]
+        ten_sel[u, ti] = 1.0
+        ten_idx[u] = ti
+        ten_mask[u] = 1.0
+    gear = m.actuator_gear                               # (nu, 6)
+    moment = jnp.einsum('unk,uk->un', jnp.asarray(sel, dtype=dtype), gear)
+    if ten_mask.any():
+      moment = moment + (jnp.asarray(ten_sel, dtype=dtype)
+                         @ m.ten_moment) * gear[:, 0:1]
+      length = jnp.where(jnp.asarray(ten_mask, dtype=bool),
+                         d.ten_length[ten_idx] * gear[:, 0],
+                         d.qpos[qadr_arr] * gear[:, 0]
+                         * jnp.asarray(scalar_mask, dtype=dtype))
+    else:
+      length = (d.qpos[qadr_arr] * gear[:, 0]
+                * jnp.asarray(scalar_mask, dtype=dtype))
+    velocity = moment @ d.qvel
+    # constant-derived leaves must keep the carry's varying-manual-axes
+    # type under shard_map (no-op elsewhere)
+    moment = tm.match_vma(moment, d.qpos)
+    length = tm.match_vma(length, d.qpos)
+    return d.replace(actuator_length=length, actuator_velocity=velocity,
+                     actuator_moment=moment)
+
   lengths, moments = [], []
   for u in range(m.nu):
     trntype = m.actuator_trntype[u]
@@ -214,38 +255,34 @@ def actuation(m: Model, d: Data) -> Data:
                      m.actuator_ctrlrange[:, 1])
   ctrl = jnp.where(limited, clamped, ctrl)
 
-  # activation dynamics
-  act_dot = jnp.zeros(m.na, dtype=dtype)
-  inputs = []
-  for u in range(m.nu):
-    dyntype = m.actuator_dyntype[u]
-    if dyntype == DynType.NONE:
-      inputs.append(ctrl[u])
-    else:
-      aadr = m.actuator_actadr[u]
-      if dyntype == DynType.INTEGRATOR:
-        act_dot = act_dot.at[aadr].set(ctrl[u])
-      else:  # FILTER / FILTEREXACT
-        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
-        act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
-      inputs.append(d.act[aadr])
-  inp = jnp.stack(inputs)
+  # activation dynamics (vectorized over actuators with static type masks)
+  if m.na:
+    aadr = np.asarray(m.actuator_actadr, dtype=np.int32)
+    has_act = np.asarray([t != DynType.NONE for t in m.actuator_dyntype])
+    is_integ = np.asarray([t == DynType.INTEGRATOR
+                           for t in m.actuator_dyntype])
+    tau = jnp.maximum(m.actuator_dynprm[:, 0], 1e-8)
+    act_u = d.act[np.where(has_act, aadr, 0)]
+    dot_u = jnp.where(jnp.asarray(is_integ), ctrl, (ctrl - act_u) / tau)
+    act_dot = jnp.zeros(m.na, dtype=dtype)
+    act_dot = act_dot.at[aadr[has_act]].set(dot_u[np.nonzero(has_act)[0]])
+    inp = jnp.where(jnp.asarray(has_act), act_u, ctrl)
+  else:
+    act_dot = tm.match_vma(jnp.zeros(m.na, dtype=dtype), d.qpos)
+    inp = ctrl
 
-  # gain / bias
+  # gain / bias (static type masks; affine terms vectorized)
   gp, bp = m.actuator_gainprm, m.actuator_biasprm
-  gains, biases = [], []
-  for u in range(m.nu):
-    if m.actuator_gaintype[u] == GainType.FIXED:
-      gains.append(gp[u, 0])
-    else:
-      gains.append(gp[u, 0] + gp[u, 1] * d.actuator_length[u]
-                   + gp[u, 2] * d.actuator_velocity[u])
-    if m.actuator_biastype[u] == BiasType.NONE:
-      biases.append(jnp.zeros((), dtype=dtype))
-    else:
-      biases.append(bp[u, 0] + bp[u, 1] * d.actuator_length[u]
-                    + bp[u, 2] * d.actuator_velocity[u])
-  force = jnp.stack(gains) * inp + jnp.stack(biases)
+  gain_affine = jnp.asarray(
+      [t != GainType.FIXED for t in m.actuator_gaintype])
+  bias_on = jnp.asarray([t != BiasType.NONE for t in m.actuator_biastype])
+  affine_g = (gp[:, 0] + gp[:, 1] * d.actuator_length
+              + gp[:, 2] * d.actuator_velocity)
+  gains = jnp.where(gain_affine, affine_g, gp[:, 0])
+  affine_b = (bp[:, 0] + bp[:, 1] * d.actuator_length
+              + bp[:, 2] * d.actuator_velocity)
+  biases = jnp.where(bias_on, affine_b, 0.0)
+  force = gains * inp + biases
 
   flimited = jnp.array(m.actuator_forcelimited, dtype=bool)
   fclamped = jnp.clip(force, m.actuator_forcerange[:, 0],
@@ -258,9 +295,21 @@ def actuation(m: Model, d: Data) -> Data:
 
 
 def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
-  """Map per-body applied world wrenches to generalized forces."""
-  qfrc = jnp.zeros(m.nv, dtype=d.qpos.dtype)
-  for b in range(1, m.nbody):
-    jacp, jacr = _body_jac(m, d, b, d.xipos[b])
-    qfrc = qfrc + jacp @ d.xfrc_applied[b, :3] + jacr @ d.xfrc_applied[b, 3:]
-  return qfrc
+  """Map per-body applied world wrenches to generalized forces.
+
+  Vectorized over bodies: qfrc[i] = sum_b mask[b,i] * (Jp_b[i].f_b +
+  Jr_b[i].t_b) with the dense point Jacobians expanded from cdof."""
+  from mujoco_mpc_tpu.physics import structure
+
+  dtype = d.qpos.dtype
+  if m.nv == 0:
+    return jnp.zeros(0, dtype=dtype)
+  a_body = jnp.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv), dtype)
+  off = d.xipos - d.subtree_com[jnp.array(m.body_rootid)]   # (nbody, 3)
+  # jacp[b, i, :] = cdof[i, 3:] + cross(cdof[i, :3], off[b])
+  jacp = (d.cdof[None, :, 3:]
+          + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+  contrib = (jnp.einsum('bis,bs->bi', jacp, d.xfrc_applied[:, :3])
+             + d.xfrc_applied[:, 3:] @ d.cdof[:, :3].T)
+  return jnp.einsum('bi,bi->i', a_body, contrib)

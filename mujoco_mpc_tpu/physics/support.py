@@ -133,3 +133,74 @@ def integrate_state(m: Model, qpos: jax.Array, dq: jax.Array,
                     scale=1.0) -> jax.Array:
   """qpos ⊕ scale * dq (analog: mj_integratePos with dt=scale)."""
   return fwd.integrate_pos(m, qpos, dq, scale)
+
+
+def _static_geoms(m: Model, group: int = 0):
+  """Geoms in `group` on bodies with no dofs anywhere in their ancestor
+  chain (the terrain/scene; analog of the reference Ground() raycast over
+  group-0 static geoms, utilities.cc:538-556)."""
+  out = []
+  for g in range(m.ngeom):
+    if m.geom_group[g] != group:
+      continue
+    b = m.geom_bodyid[g]
+    static = True
+    while b > 0:
+      if m.body_dofnum[b]:
+        static = False
+        break
+      b = m.body_parentid[b]
+    if static:
+      out.append(g)
+  return tuple(out)
+
+
+def ground_height(m: Model, d: Data, pos: jax.Array) -> jax.Array:
+  """Terrain height under world position `pos` (x, y): a vertical
+  downward raycast against the static group-0 geoms (planes, boxes,
+  spheres), TPU-native analog of the reference `Ground()` mj_ray query.
+  Returns the z of the nearest surface; falls back to z=0 on no hit."""
+  dtype = d.qpos.dtype
+  geoms = _static_geoms(m)
+  z0 = pos[2] + 0.5                     # start above in case of penetration
+  origin = jnp.stack([pos[0], pos[1], z0])
+  big = jnp.asarray(1e9, dtype=dtype)
+
+  dists = []
+  for g in geoms:
+    gtype = m.geom_type[g]
+    gpos = d.geom_xpos[g]
+    gmat = d.geom_xmat[g]
+    size = m.geom_size[g]
+    if gtype == 0:      # plane: z = gpos_z - (n.(p - gpos))/n_z with n = R e_z
+      n = gmat[:, 2]
+      denom = jnp.where(jnp.abs(n[2]) < 1e-9, 1e-9, n[2])
+      zs = gpos[2] + (n[0] * (gpos[0] - origin[0])
+                      + n[1] * (gpos[1] - origin[1])) / denom
+      dist = z0 - zs
+    elif gtype == 2:    # sphere
+      oc = origin - gpos
+      # |oc - t e_z|^2 = r^2  ->  t^2 - 2 oc_z t + |oc|^2 - r^2 = 0
+      b = oc[2]
+      c = oc @ oc - size[0] * size[0]
+      disc = b * b - c
+      t = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+      dist = jnp.where(jnp.logical_and(disc >= 0, t > 0), t, big)
+    elif gtype == 6:    # oriented box: slab test in the box frame
+      o = gmat.T @ (origin - gpos)
+      dd = gmat.T @ jnp.asarray([0.0, 0.0, -1.0], dtype=dtype)
+      dd = jnp.where(jnp.abs(dd) < 1e-12, 1e-12, dd)
+      t1 = (-size - o) / dd
+      t2 = (size - o) / dd
+      tmin = jnp.max(jnp.minimum(t1, t2))
+      tmax = jnp.min(jnp.maximum(t1, t2))
+      hit = jnp.logical_and(tmax >= tmin, tmax > 0)
+      dist = jnp.where(hit, jnp.maximum(tmin, 0.0), big)
+    else:
+      continue
+    dists.append(jnp.asarray(dist, dtype=dtype))
+
+  if not dists:
+    return jnp.zeros((), dtype=dtype)
+  dist = jnp.min(jnp.stack(dists))
+  return jnp.where(dist < big, z0 - dist, jnp.zeros((), dtype=dtype))

@@ -120,6 +120,20 @@ def sample_candidates(spec: TaskSpec, nominal: SamplingPolicy,
   return jnp.clip(candidates, lo, hi)
 
 
+def sample_candidates_slice(spec: TaskSpec, nominal: SamplingPolicy,
+                            num_samples: int, cfg: SamplingConfig,
+                            key: jax.Array, start: jax.Array,
+                            n_local: int) -> jax.Array:
+  """(n_local+1, P, nu): the nominal plus the contiguous noise-candidate
+  slice [start, start+n_local) of the EXACT stream sample_candidates draws
+  from `key` — every shard regenerates the full (tiny) noise tensor and
+  slices, so sharded planning is bit-identical to single-device planning
+  (parallel/sharded.py seed-exactness)."""
+  full = sample_candidates(spec, nominal, num_samples, cfg, key)
+  local = jax.lax.dynamic_slice_in_dim(full, 1 + start, n_local, 0)
+  return jnp.concatenate([full[:1], local])
+
+
 def candidate_actions(times: jax.Array, values: jax.Array,
                       horizon_steps: int, timestep: jax.Array,
                       interp: int) -> jax.Array:

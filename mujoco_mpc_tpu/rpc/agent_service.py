@@ -38,6 +38,7 @@ METHODS = {
     'SetMocap': (pb.SetMocapRequest, pb.SetMocapResponse),
     'SetMode': (pb.SetModeRequest, pb.SetModeResponse),
     'GetMode': (pb.GetModeRequest, pb.GetModeResponse),
+    'SetAnything': (pb.SetAnythingRequest, pb.SetAnythingResponse),
 }
 
 
@@ -53,6 +54,26 @@ class AgentService:
     from mujoco_mpc_tpu import agent as agent_mod
     from mujoco_mpc_tpu.tasks import registry
     spec = registry.get_task(request.task_id)
+    # optional inline model overriding the task's own physics model
+    # (reference: agent.proto:59-64 / grpc_agent_util InitAgent)
+    if request.HasField('model') and (request.model.xml
+                                      or request.model.mjb):
+      import dataclasses
+      import tempfile
+
+      import mujoco
+
+      from mujoco_mpc_tpu.physics.model import put_model
+      if request.model.xml:
+        mjm = mujoco.MjModel.from_xml_string(request.model.xml)
+      else:
+        with tempfile.NamedTemporaryFile(suffix='.mjb') as f:
+          f.write(request.model.mjb)
+          f.flush()
+          mjm = mujoco.MjModel.from_binary_path(f.name)
+      model = put_model(mjm, dtype=spec.model.qpos0.dtype,
+                        strict_sensors=False)
+      spec = dataclasses.replace(spec, model=model, mj_model=mjm)
     planner_id = request.planner_id if request.planner_id >= 0 else None
     num_samples = request.num_samples or None
     self.agent = agent_mod.Agent(spec, num_samples=num_samples,
@@ -203,6 +224,40 @@ class AgentService:
 
   def GetMode(self, request, context=None):
     return pb.GetModeResponse(mode=self.agent.mode())
+
+  def SetAnything(self, request, context=None):
+    # one-call state/parameters/weights/mode/mocap update (reference:
+    # grpc_agent_util SetAnything); state first, then mocap-by-name
+    if request.HasField('state'):
+      self.SetState(pb.SetStateRequest(state=request.state))
+    for name, value in request.parameters.items():
+      self.agent.set_task_parameter(name, value)
+    if request.cost_weights:
+      self.agent.set_cost_weights(dict(request.cost_weights))
+    if request.mode:
+      self.agent.set_mode(int(request.mode))
+    if request.mocap:
+      mjm = self.agent.spec.mj_model
+      import mujoco
+      d = self.agent.sim_data
+      mp = np.asarray(d.mocap_pos).copy()
+      mq = np.asarray(d.mocap_quat).copy()
+      for name, pose in request.mocap.items():
+        bid = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, name)
+        if bid < 0:
+          raise ValueError(f'unknown mocap body {name!r}')
+        mid = int(mjm.body_mocapid[bid])
+        if mid < 0:
+          raise ValueError(f'body {name!r} is not a mocap body')
+        if pose.pos:
+          mp[mid] = np.asarray(pose.pos)
+        if pose.quat:
+          mq[mid] = np.asarray(pose.quat)
+      dtype = d.qpos.dtype
+      self.agent.sim_data = d.replace(
+          mocap_pos=jnp.asarray(mp, dtype=dtype),
+          mocap_quat=jnp.asarray(mq, dtype=dtype))
+    return pb.SetAnythingResponse()
 
   def GetTaskList(self, request, context=None):
     from mujoco_mpc_tpu.tasks import registry

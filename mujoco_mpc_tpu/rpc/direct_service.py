@@ -18,6 +18,9 @@ METHODS = {
     'Cost': (pb.DirectCostRequest, pb.DirectCostResponse),
     'Optimize': (pb.DirectOptimizeRequest, pb.DirectOptimizeResponse),
     'Status': (pb.DirectStatusRequest, pb.DirectStatusResponse),
+    'Noise': (pb.DirectNoiseRequest, pb.DirectNoiseResponse),
+    'Reset': (pb.DirectResetRequest, pb.DirectResetResponse),
+    'SensorInfo': (pb.DirectSensorInfoRequest, pb.DirectSensorInfoResponse),
 }
 
 
@@ -32,6 +35,7 @@ class DirectService:
     from mujoco_mpc_tpu.tasks import registry
 
     spec = registry.get_task(request.task_id)
+    self.mjm = spec.mj_model
     model = spec.model
     dtype = model.qpos0.dtype
     template = make_data(model, dtype=dtype)
@@ -44,6 +48,8 @@ class DirectService:
     self.force = np.zeros((t, model.nv))
     self.times = np.arange(t) * float(np.asarray(model.opt.timestep))
     self.z = jnp.zeros(t * model.nv, dtype=dtype)
+    self.noise_process = np.ones(model.nv)
+    self.noise_sensor = np.ones(self.problem.sensor_dim)
     return pb.DirectInitResponse()
 
   def Data(self, request, context=None):
@@ -99,6 +105,47 @@ class DirectService:
     return pb.DirectOptimizeResponse(
         final_cost=float(info['final_cost']),
         cost_trace=np.asarray(info['cost_trace']).tolist())
+
+  def Noise(self, request, context=None):
+    """Process/sensor noise variances; weights are their reciprocals
+    (reference: direct.proto Noise / direct.cc noise -> weight)."""
+    dtype = self.problem.model.qpos0.dtype
+    kw = {}
+    if request.process:
+      self.noise_process = np.asarray(request.process)
+      kw['force_weight'] = jnp.asarray(
+          1.0 / np.maximum(self.noise_process, 1e-12), dtype=dtype)
+    if request.sensor:
+      self.noise_sensor = np.asarray(request.sensor)
+      kw['sensor_weight'] = jnp.asarray(
+          1.0 / np.maximum(self.noise_sensor, 1e-12), dtype=dtype)
+    if kw:
+      self.settings = self.settings.replace(**kw)
+    return pb.DirectNoiseResponse(process=self.noise_process.tolist(),
+                                  sensor=self.noise_sensor.tolist())
+
+  def Reset(self, request, context=None):
+    """Clear measurements and the decision variable, keep settings."""
+    model = self.problem.model
+    t = self.problem.horizon
+    self.qpos = np.tile(np.asarray(model.qpos0), (t, 1))
+    self.sensor = np.zeros((t, self.problem.sensor_dim))
+    self.force = np.zeros((t, model.nv))
+    self.times = np.arange(t) * float(np.asarray(model.opt.timestep))
+    self.z = jnp.zeros(t * model.nv, dtype=model.qpos0.dtype)
+    return pb.DirectResetResponse()
+
+  def SensorInfo(self, request, context=None):
+    import mujoco
+    mjm = self.mjm
+    names = []
+    for sid in range(mjm.nsensor):
+      names.append(mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_SENSOR, sid)
+                   or f'sensor{sid}')
+    return pb.DirectSensorInfoResponse(
+        dim=[int(x) for x in mjm.sensor_dim],
+        adr=[int(x) for x in mjm.sensor_adr],
+        name=names)
 
   def Status(self, request, context=None):
     return pb.DirectStatusResponse(

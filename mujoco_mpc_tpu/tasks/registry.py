@@ -20,6 +20,7 @@ import numpy as np
 
 from mujoco_mpc_tpu.physics import support
 from mujoco_mpc_tpu.physics.model import load_model
+from mujoco_mpc_tpu.utils import tpu_math as tm
 from mujoco_mpc_tpu.tasks import base
 
 _MODELS_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -46,7 +47,7 @@ def get_task(name: str) -> base.TaskSpec:
 
 def _build(name: str, xml: str, residual_fn, transition_fn=None,
            dtype=jnp.float32, xml_string: str = None,
-           xml_path: str = None) -> base.TaskSpec:
+           xml_path: str = None, state_params=()) -> base.TaskSpec:
   """Assemble a TaskSpec from an MJCF file + residual function.
 
   xml: filename relative to the built-in models dir; xml_path: absolute
@@ -81,6 +82,14 @@ def _build(name: str, xml: str, residual_fn, transition_fn=None,
       rp_names.append('select_' + key[len('residual_select_'):])
       rp_vals.append(arr[0])
       rp_ranges.append((0.0, float(arr[1]) if arr.size >= 2 else 10.0))
+
+  # hidden task-state slots (mode timers, filters, snapshots) carried in
+  # residual_params so stateful reference transitions (quadruped modes,
+  # rubik unscramble, tracking clock) stay pure-functional here
+  for sname, sval in state_params:
+    rp_names.append(sname)
+    rp_vals.append(float(sval))
+    rp_ranges.append((0.0, 0.0))
 
   params = base.TaskParams(
       weights=jnp.asarray(weights, dtype=dtype),
@@ -318,43 +327,143 @@ def _quadruped_hill_xml() -> str:
 
 def _make_quadruped(name: str, xml: str, xml_string: str = None
                     ) -> base.TaskSpec:
+  """Quadruped locomotion with the reference's full mode set
+  (mjpc/tasks/quadruped/quadruped.{h,cc}): modes Quadruped / Biped / Walk /
+  Scramble / Flip (quadruped.h:40-47), speed-based automatic gait
+  switching (quadruped.cc:254-285), terrain raycast for foot targets
+  (Ground(), utilities.cc:538-556), and the backflip trajectory
+  (FlipHeight/FlipQuat, quadruped.cc:677-714). Stateful mode machinery
+  (timers, filters, orientation snapshots) lives in hidden residual-param
+  slots updated by the pure transition function."""
   if xml_string is not None:
     spec_model, _ = load_model(xml_string=xml_string)
   else:
     spec_model, _ = load_model(os.path.join(_MODELS_DIR, xml))
   torso = spec_model.site('torso_site')
+  head = spec_model.site('head_site')
   trunk = spec_model.body('trunk')
   goal_mocap = spec_model.body_mocapid[spec_model.body('goal')]
   feet = [spec_model.geom(f'{f}_foot') for f in ('fl', 'fr', 'hl', 'hr')]
-  home_qpos = None  # bound below after model load
+  home_qpos = None    # bound below after model load
+  crouch_qpos = None
+  idx = {}            # residual-param name -> index, bound after build
+  widx = {}           # weight term name -> index
 
   gait_phase = jnp.asarray(_QUAD_GAIT_PHASE, dtype=jnp.float32)
   gait_duty = jnp.asarray(_QUAD_GAIT_DUTY, dtype=jnp.float32)
+  # per-gait (duty, cadence, amplitude, balance_w, upright_w, height_w)
+  # applied on gait switch (reference kGaitParam, quadruped.h:88-97)
+  gait_table = jnp.asarray([
+      [1.0, 1.0, 0.00, 0.0, 1.0, 1.0],
+      [0.75, 1.0, 0.03, 0.0, 1.0, 1.0],
+      [0.45, 2.0, 0.03, 0.2, 1.0, 1.0],
+      [0.4, 4.0, 0.05, 0.03, 0.5, 0.2],
+      [0.3, 3.5, 0.10, 0.03, 0.2, 0.1]], dtype=jnp.float32)
+  # auto-gait speed thresholds (reference kGaitAuto)
+  gait_auto = jnp.asarray([0.0, 0.02, 0.02, 0.6, 2.0, 1e9],
+                          dtype=jnp.float32)
+
+  # backflip trajectory constants (reference quadruped.cc:560-600)
+  _g = 9.81
+  _hq, _hcrouch, _hleap, _hmax = _QUAD_HEIGHT_GOAL, 0.15, 0.5, 0.8
+  _jump_vel = float(np.sqrt(2 * _g * (_hmax - _hleap)))
+  _flight_time = 2 * _jump_vel / _g
+  _jump_acc = _jump_vel ** 2 / (2 * (_hleap - _hcrouch))
+  _crouch_time = float(np.sqrt(2 * (_hq - _hcrouch) / _jump_acc))
+  _leap_time = _jump_vel / _jump_acc
+  _jump_time = _crouch_time + _leap_time
+  _crouch_vel = -_jump_acc * _crouch_time
+  _land_time = 2 * (_hleap - _hq) / _jump_vel
+  _land_acc = _jump_vel / _land_time
+  _flight_rot_vel = 1.25 * np.pi / _flight_time
+  _jump_rot_vel = np.pi / _leap_time - _flight_rot_vel
+  _jump_rot_acc = (_flight_rot_vel - _jump_rot_vel) / _leap_time
+  _land_rot_acc = (2 * (_flight_rot_vel * _land_time - np.pi / 4)
+                   / _land_time ** 2)
+  _flip_total = _jump_time + _flight_time + _land_time
+
+  def _flip_height(t, ground):
+    h_jump = _hq + t * _crouch_vel + 0.5 * _jump_acc * t * t
+    tf = t - _jump_time
+    h_flight = _hleap + _jump_vel * tf - 0.5 * _g * tf * tf
+    tl = t - _jump_time - _flight_time
+    h_land = _hleap - _jump_vel * tl + 0.5 * _land_acc * tl * tl
+    h = jnp.where(t < _jump_time, h_jump,
+                  jnp.where(t < _jump_time + _flight_time, h_flight,
+                            jnp.where(t < _flip_total, h_land, _hq)))
+    return h + ground
+
+  def _flip_angle(t):
+    tc = t - _crouch_time
+    a_leap = 0.5 * _jump_rot_acc * tc * tc + _jump_rot_vel * tc
+    tf = t - _jump_time
+    a_flight = jnp.pi / 2 + _flight_rot_vel * tf
+    tl = t - _jump_time - _flight_time
+    a_land = (1.75 * jnp.pi + _flight_rot_vel * tl
+              - 0.5 * _land_rot_acc * tl * tl)
+    return jnp.where(t < _crouch_time, 0.0,
+                     jnp.where(t < _jump_time, a_leap,
+                               jnp.where(t < _jump_time + _flight_time,
+                                         a_flight,
+                                         jnp.where(t < _flip_total, a_land,
+                                                   2 * jnp.pi))))
 
   def residual(m, d, rp):
     dtype = d.qpos.dtype
     cadence, amplitude, duty_param = rp[0], rp[1], rp[2]
     walk_speed, heading = rp[3], rp[4]
-    gait = jnp.clip(jnp.round(rp[5]).astype(jnp.int32), 0, 4)
+    gait = jnp.clip(jnp.round(rp[idx['select_Gait']]).astype(jnp.int32),
+                    0, 4)
+    mode = jnp.clip(jnp.round(rp[idx['select_Mode']]).astype(jnp.int32),
+                    0, 4)
+    handstand = jnp.round(rp[idx['select_Biped type']]) > 0.5
+    is_biped = mode == 1
+    is_walk = mode == 2
+    is_scramble = mode == 3
+    is_flip = mode == 4
+    mode_time = d.time - rp[idx['_mode_start']]
+    flip_quat0 = rp[idx['_flip_quat_w']:idx['_flip_quat_w'] + 4]
+    flip_ground = rp[idx['_flip_ground']]
 
     foot_pos = jnp.stack([d.geom_xpos[g] for g in feet])   # (4, 3)
     torso_pos = d.site_xpos[torso]
+    head_pos = d.site_xpos[head]
     up = d.xmat[trunk][:, 2]
 
-    # Upright: trunk z-axis vs world up
-    r_upright = up - jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+    # biped average foot: front or hind pair only (AverageFootPos)
+    biped_pair = jnp.where(handstand, foot_pos[:2].mean(0),
+                           foot_pos[2:].mean(0))
+    avg_foot = jnp.where(is_biped, biped_pair, foot_pos.mean(0))
 
-    # Height: trunk height above average foot height vs target
-    avg_foot_z = jnp.mean(foot_pos[:, 2])
-    r_height = (torso_pos[2] - avg_foot_z - _QUAD_HEIGHT_GOAL)[None]
+    # Upright: trunk z-axis vs world up; biped: x-axis vertical; flip:
+    # orientation tracks the flip quaternion trajectory
+    r_upright_quad = up - jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+    sgn = jnp.where(handstand, -1.0, 1.0)
+    r_upright_biped = jnp.concatenate(
+        [(d.xmat[trunk][2, 0] - sgn)[None], jnp.zeros(2, dtype=dtype)])
+    axis = jnp.array([0.0, 1.0, 0.0], dtype=dtype)
+    fq = tm.quat_mul(flip_quat0,
+                     tm.axis_angle_to_quat(axis, _flip_angle(mode_time)))
+    r_upright_flip = tm.quat_sub(d.xquat[trunk], fq)
+    r_upright = jnp.where(is_flip, r_upright_flip,
+                          jnp.where(is_biped, r_upright_biped,
+                                    r_upright_quad))
 
-    # Position: torso to goal (xy; z free)
+    # Height
+    height_goal = jnp.where(is_biped, 0.5, _QUAD_HEIGHT_GOAL)
+    r_height_std = torso_pos[2] - avg_foot[2] - height_goal
+    r_height_flip = torso_pos[2] - _flip_height(mode_time, flip_ground)
+    r_height = jnp.where(is_scramble, 0.0,
+                         jnp.where(is_flip, r_height_flip,
+                                   r_height_std))[None]
+
+    # Position: head to goal (walk target computed by the transition and
+    # written into the goal mocap, so planning stays stateless here)
     goal = d.mocap_pos[goal_mocap]
-    r_position = jnp.concatenate([torso_pos[:2] - goal[:2],
-                                  jnp.zeros((1,), dtype=dtype)])
+    r_pos_z = jnp.where(is_scramble, 2.0 * (head_pos[2] - goal[2]), 0.0)
+    r_position = jnp.concatenate([head_pos[:2] - goal[:2], r_pos_z[None]])
 
-    # Gait: per-foot swing-height tracking. Normalized phase p in [0,1);
-    # stance (p < duty) target height 0, swing target = amp * sin bump.
+    # Gait: per-foot swing-height tracking over raycast terrain height.
     duty = jnp.where(duty_param > 0, duty_param,
                      gait_duty[gait]).astype(dtype)
     phase = jnp.mod(cadence * d.time + gait_phase[gait], 1.0)
@@ -363,25 +472,51 @@ def _make_quadruped(name: str, xml: str, xml_string: str = None
     target_h = amplitude * jnp.sin(jnp.pi * swing)
     is_stand = (gait == 0)
     target_h = jnp.where(is_stand, 0.0, target_h)
-    r_gait = foot_pos[:, 2] - _QUAD_FOOT_RADIUS - target_h
+    ground = jnp.stack([support.ground_height(m, d, foot_pos[i])
+                        for i in range(4)])
+    r_gait = foot_pos[:, 2] - ground - _QUAD_FOOT_RADIUS - target_h
+    # scramble: feet above target not penalized
+    r_gait = jnp.where(is_scramble, jnp.minimum(r_gait, 0.0), r_gait)
+    # biped: free the "hands"
+    hand_mask = jnp.where(handstand,
+                          jnp.array([0.0, 0.0, 1.0, 1.0], dtype=dtype),
+                          jnp.array([1.0, 1.0, 0.0, 0.0], dtype=dtype))
+    r_gait = jnp.where(is_biped, r_gait * hand_mask, r_gait)
 
-    # Balance: capture point (com + com_vel * sqrt(h/g)) vs feet centroid
+    # Balance: capture point vs feet centroid
     com = d.subtree_com[trunk]
     com_vel = support.subtree_linvel(m, d, trunk)
-    fall_time = jnp.sqrt(jnp.maximum(torso_pos[2] - avg_foot_z, 0.01) / 9.81)
+    fall_time = jnp.sqrt(jnp.maximum(torso_pos[2] - avg_foot[2], 0.01)
+                         / 9.81)
     capture = com[:2] + fall_time * com_vel[:2]
-    feet_centroid = jnp.mean(foot_pos[:, :2], axis=0)
-    r_balance = capture - feet_centroid
+    r_balance = capture - avg_foot[:2]
 
-    # Effort: actuator forces (normalized by gear-free position servos)
+    # Effort
     r_effort = 0.02 * d.actuator_force
 
-    # Posture: joint angles vs home keyframe
-    r_posture = d.qpos[7:] - home_qpos[7:]
+    # Posture: home; crouch keyframe during flip crouch; free in flight
+    posture_ref = jnp.where(
+        jnp.logical_and(is_flip, mode_time < _crouch_time),
+        crouch_qpos[7:], home_qpos[7:])
+    r_posture = d.qpos[7:] - posture_ref
+    in_flight = jnp.logical_and(
+        is_flip, jnp.logical_and(mode_time >= _crouch_time,
+                                 mode_time < _jump_time + _flight_time))
+    r_posture = jnp.where(in_flight, 0.0, r_posture)
+    # biped: loosen the hand legs (reference quadruped.cc:180-195)
+    leg_scale = jnp.ones(12, dtype=dtype)
+    front_loose = jnp.asarray([1, .03, .03, 1, .03, .03, 1, 1, 1, 1, 1, 1],
+                              dtype=dtype)
+    hind_loose = jnp.asarray([1, 1, 1, 1, 1, 1, 1, .03, .03, 1, .03, .03],
+                             dtype=dtype)
+    biped_scale = jnp.where(handstand, hind_loose, front_loose)
+    r_posture = r_posture * jnp.where(is_biped, biped_scale, leg_scale)
 
-    # Orientation: trunk heading vs goal direction (or commanded Heading
-    # when Walk speed is set)
-    fwd_vec = d.xmat[trunk][:2, 0]
+    # Orientation: trunk heading vs goal direction / commanded heading;
+    # biped: vertical axis becomes the heading axis
+    fwd_quad = d.xmat[trunk][:2, 0]
+    fwd_biped = sgn * d.xmat[trunk][:2, 2]
+    fwd_vec = jnp.where(is_biped, fwd_biped, fwd_quad)
     fwd_vec = fwd_vec / jnp.maximum(jnp.linalg.norm(fwd_vec), 1e-6)
     to_goal = goal[:2] - torso_pos[:2]
     to_goal = to_goal / jnp.maximum(jnp.linalg.norm(to_goal), 1e-6)
@@ -389,7 +524,7 @@ def _make_quadruped(name: str, xml: str, xml_string: str = None
     desired = jnp.where(walk_speed > 1e-3, cmd_dir, to_goal)
     r_orient = fwd_vec - desired.astype(dtype)
 
-    # Angmom: subtree angular momentum about com
+    # Angmom
     r_angmom = support.subtree_angmom(m, d, trunk)
 
     return jnp.concatenate([
@@ -397,17 +532,143 @@ def _make_quadruped(name: str, xml: str, xml_string: str = None
         r_effort, r_posture, r_orient, r_angmom])
 
   def transition(m, d, params, key):
-    torso_xy = d.site_xpos[torso][:2]
+    """Mode state machine (reference TransitionLocked, quadruped.cc:225+):
+    auto-gait switching on filtered com speed, per-gait parameter/weight
+    presets, Walk goal trajectory, Flip entry snapshots."""
+    rp = params.residual_params
+    w = params.weights
+    dtype = rp.dtype
+    mode = jnp.clip(jnp.round(rp[idx['select_Mode']]).astype(jnp.int32),
+                    0, 4)
+    dt = jnp.maximum(d.time - rp[idx['_last_t']], 0.0)
+
+    # filtered com speed (kAutoGaitFilter = 0.2 s)
+    beta = jnp.exp(-dt / 0.2)
+    com_vel = support.subtree_linvel(m, d, trunk)[:2]
+    filt = (beta * rp[idx['_comvel_x']:idx['_comvel_x'] + 2]
+            + (1 - beta) * com_vel)
+    rp = jax.lax.dynamic_update_slice(rp, filt.astype(dtype),
+                                      (idx['_comvel_x'],))
+
+    # automatic gait switching (quadruped.cc:254-285): biped always trots
+    speed = jnp.linalg.norm(filt)
+    auto_on = jnp.round(rp[idx['select_Gait switch']]) > 0.5
+    cur_gait = jnp.clip(jnp.round(rp[idx['select_Gait']]).astype(jnp.int32),
+                        0, 4)
+    waited = (d.time - rp[idx['_gait_switch_t']]) > 1.0
+    in_range = jnp.logical_and(speed > gait_auto[:5],
+                               speed <= gait_auto[1:6])
+    in_range = in_range.at[4].set(speed > gait_auto[4])
+    # scramble requires non-static gait
+    in_range = in_range.at[0].set(
+        jnp.logical_and(in_range[0], mode != 3))
+    auto_gait = jnp.argmax(in_range)
+    switch = jnp.logical_and(auto_on, jnp.logical_and(
+        waited, auto_gait != cur_gait))
+    new_gait = jnp.where(mode == 1, 2,
+                         jnp.where(switch, auto_gait, cur_gait))
+    rp = rp.at[idx['select_Gait']].set(new_gait.astype(dtype))
+    rp = rp.at[idx['_gait_switch_t']].set(
+        jnp.where(switch, d.time, rp[idx['_gait_switch_t']]))
+
+    # apply per-gait presets on gait change (kGaitParam semantics)
+    gait_changed = new_gait != jnp.clip(
+        jnp.round(rp[idx['_cur_gait']]).astype(jnp.int32), 0, 4)
+    preset = gait_table[new_gait]
+    def put(r, i, v):
+      return r.at[i].set(jnp.where(gait_changed, v, r[i]))
+    rp = put(rp, 0, preset[1])                      # cadence
+    rp = put(rp, 1, preset[2])                      # amplitude
+    rp = put(rp, 2, preset[0])                      # duty
+    w = w.at[widx['Balance']].set(
+        jnp.where(gait_changed, preset[3], w[widx['Balance']]))
+    w = w.at[widx['Upright']].set(
+        jnp.where(gait_changed, preset[4], w[widx['Upright']]))
+    w = w.at[widx['Height']].set(
+        jnp.where(gait_changed, preset[5], w[widx['Height']]))
+    rp = rp.at[idx['_cur_gait']].set(new_gait.astype(dtype))
+
+    # mode entry: snapshot time / orientation / ground for Flip & Walk
+    prev_mode = jnp.clip(jnp.round(rp[idx['_cur_mode']]).astype(jnp.int32),
+                         0, 4)
+    entered = mode != prev_mode
+    rp = rp.at[idx['_mode_start']].set(
+        jnp.where(entered, d.time, rp[idx['_mode_start']]))
+    com = d.subtree_com[trunk]
+    rp = jax.lax.dynamic_update_slice(
+        rp,
+        jnp.where(entered, d.xquat[trunk],
+                  rp[idx['_flip_quat_w']:idx['_flip_quat_w'] + 4]
+                  ).astype(dtype),
+        (idx['_flip_quat_w'],))
+    rp = rp.at[idx['_flip_ground']].set(
+        jnp.where(entered, support.ground_height(m, d, com),
+                  rp[idx['_flip_ground']]))
+    # walk origin/heading snapshot
+    torso_xy = d.xpos[trunk][:2]
+    fwd = d.xmat[trunk][:2, 0]
+    fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-6)
+    leftward = jnp.stack([-fwd[1], fwd[0]])
+    wspeed, wturn = rp[3], rp[idx['Walk turn']]
+    use_turn = jnp.abs(wturn) > 0.01
+    axis_xy = torso_xy + jnp.where(use_turn, (wspeed / jnp.where(
+        use_turn, wturn, 1.0)) * leftward, 0.0)
     goal_xy = d.mocap_pos[goal_mocap][:2]
+    rp = jax.lax.dynamic_update_slice(
+        rp, jnp.where(entered, axis_xy,
+                      rp[idx['_walk_pos_x']:idx['_walk_pos_x'] + 2]
+                      ).astype(dtype), (idx['_walk_pos_x'],))
+    rp = jax.lax.dynamic_update_slice(
+        rp, jnp.where(entered, goal_xy - axis_xy,
+                      rp[idx['_walk_head_x']:idx['_walk_head_x'] + 2]
+                      ).astype(dtype), (idx['_walk_head_x'],))
+    rp = rp.at[idx['_cur_mode']].set(mode.astype(dtype))
+    rp = rp.at[idx['_last_t']].set(d.time)
+
+    # Walk: move the goal along the circle/line (quadruped.cc:627-643)
+    t_mode = d.time - rp[idx['_mode_start']]
+    pos0 = rp[idx['_walk_pos_x']:idx['_walk_pos_x'] + 2]
+    head0 = rp[idx['_walk_head_x']:idx['_walk_head_x'] + 2]
+    hd_norm = head0 / jnp.maximum(jnp.linalg.norm(head0), 1e-6)
+    straight = pos0 + head0 + t_mode * wspeed * hd_norm
+    ang = t_mode * wturn
+    rot = jnp.stack([jnp.stack([jnp.cos(ang), -jnp.sin(ang)]),
+                     jnp.stack([jnp.sin(ang), jnp.cos(ang)])])
+    circle = pos0 + rot @ head0
+    walk_goal = jnp.where(use_turn, circle, straight)
+    mocap = d.mocap_pos
+    mocap = mocap.at[goal_mocap, :2].set(
+        jnp.where(mode == 2, walk_goal.astype(dtype),
+                  mocap[goal_mocap, :2]))
+
+    # Quadruped/Scramble: re-randomize goal when reached
     reached = jnp.linalg.norm(torso_xy - goal_xy) < 0.25
     new_xy = jax.random.uniform(key, (2,), minval=-3.0, maxval=3.0,
-                                dtype=d.mocap_pos.dtype)
-    xy = jnp.where(reached, new_xy, goal_xy)
-    mocap = d.mocap_pos.at[goal_mocap, :2].set(xy)
-    return d.replace(mocap_pos=mocap), params
+                                dtype=mocap.dtype)
+    randomize = jnp.logical_and(reached,
+                                jnp.logical_or(mode == 0, mode == 3))
+    mocap = mocap.at[goal_mocap, :2].set(
+        jnp.where(randomize, new_xy, mocap[goal_mocap, :2]))
 
-  spec = _build(name, xml, residual, transition, xml_string=xml_string)
+    return (d.replace(mocap_pos=mocap),
+            params.replace(residual_params=rp, weights=w))
+
+  spec = _build(name, xml, residual, transition, xml_string=xml_string,
+                state_params=[
+                    ('_mode_start', 0.0), ('_flip_quat_w', 1.0),
+                    ('_flip_quat_x', 0.0), ('_flip_quat_y', 0.0),
+                    ('_flip_quat_z', 0.0), ('_flip_ground', 0.0),
+                    ('_comvel_x', 0.0), ('_comvel_y', 0.0),
+                    ('_gait_switch_t', -10.0), ('_last_t', 0.0),
+                    ('_cur_gait', 2.0), ('_cur_mode', 0.0),
+                    ('_walk_pos_x', 0.0), ('_walk_pos_y', 0.0),
+                    ('_walk_head_x', 1.0), ('_walk_head_y', 0.0)])
   home_qpos = spec.model.keyframe_qpos('home')
+  crouch_qpos = spec.model.keyframe_qpos('crouch')
+  for pname in spec.residual_param_names:
+    idx[pname] = spec.residual_param_names.index(pname)
+  for tname in spec.term_names:
+    widx[tname] = spec.term_names.index(tname)
   return spec
 
 
@@ -708,35 +969,113 @@ def _allegro() -> base.TaskSpec:
   return _hand_task('Allegro Cube', n_fingers=3)
 
 
-def _rubik_schedule(n_moves: int = 10, seed: int = 11) -> np.ndarray:
-  """Cumulative goal quaternions for an n-move face-turn unscramble:
-  each move is a 90-degree rotation about a principal axis."""
+def _rubik_face_schedule(n_moves: int = 5, seed: int = 11):
+  """Host-side face-turn goal generation (reference: solve.cc:140-199
+  drives a second transition mjModel through random 90-degree face turns
+  and caches the face-angle snapshots). With independent face hinges the
+  schedule is pure arithmetic: goal_cache[k] = face angles after k moves,
+  unscrambled by walking the cache backwards.
+
+  Returns (goal_cache (n_moves+1, 6), scrambled (6,))."""
   rng = np.random.RandomState(seed)
-  goals = [np.array([1.0, 0, 0, 0])]
-  q = goals[0]
+  angles = np.zeros(6)
+  cache = [angles.copy()]
   for _ in range(n_moves):
-    axis = np.zeros(3)
-    axis[rng.randint(3)] = 1.0
-    sign = rng.choice([-1.0, 1.0])
-    half = sign * np.pi / 4
-    dq = np.concatenate([[np.cos(half)], np.sin(half) * axis])
-    # compose: q' = dq * q
-    w0, x0, y0, z0 = dq
-    w1, x1, y1, z1 = q
-    q = np.array([
-        w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
-        w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
-        w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
-        w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
-    ])
-    goals.append(q / np.linalg.norm(q))
-  return np.stack(goals)
+    face = rng.randint(6)
+    direction = rng.choice([-1.0, 1.0])
+    angles[face] += direction * np.pi / 2
+    cache.append(angles.copy())
+  return np.stack(cache), angles
 
 
 @register('Cube Solving')
 def _cube_solving() -> base.TaskSpec:
-  return _hand_task('Cube Solving', n_fingers=4,
-                    goal_schedule=_rubik_schedule())
+  """Rubik face-turn solving (reference: mjpc/tasks/rubik/solve.cc): a
+  segmented cube with 6 hinged faces is unscrambled move-by-move through
+  the reference's goal-cache state machine; fingertip friction on the
+  face nubs does the turning. See models/hands.rubik_xml for the
+  TPU-first mechanism redesign rationale."""
+  from mujoco_mpc_tpu.models import hands
+
+  n_moves = 5
+  cache_np, scrambled = _rubik_face_schedule(n_moves)
+  xml = hands.rubik_xml('Cube Solving', n_fingers=4,
+                        scramble_angles=scrambled)
+  spec_model, _ = load_model(xml_string=xml)
+  cube = spec_model.body('cube')
+  cube_site = spec_model.site('cube_site')
+  palm_site = spec_model.site('palm_site')
+  goal_mocap = spec_model.body_mocapid[spec_model.body('goal')]
+  cache = jnp.asarray(cache_np, dtype=jnp.float32)   # (n_moves+1, 6)
+  nhand = spec_model.nu
+  face_qadr = 7                     # cube free joint (7) then 6 face dofs
+  hand_qadr = 13
+  idx = {}
+  home_qpos = None
+
+  def residual(m, d, rp):
+    dtype = d.qpos.dtype
+    cube_pos = d.site_xpos[cube_site]
+    r_pos = cube_pos - (d.site_xpos[palm_site]
+                        + jnp.array([0., 0., 0.05], dtype=dtype))
+    r_quat = tm.quat_sub(d.xquat[cube], d.mocap_quat[goal_mocap])
+    r_vel = d.cvel[cube][3:]
+    r_act = d.actuator_force * 0.1
+    # face-angle goals (solve.cc Residual (3)); zeroed in Wait mode
+    mode = jnp.round(rp[idx['_mode']])
+    faces = d.qpos[face_qadr:face_qadr + 6]
+    r_faces = jnp.where(mode > 0.5, faces - rp[0:6], jnp.zeros(6, dtype))
+    r_hand = d.qpos[hand_qadr:hand_qadr + nhand] - home_qpos[hand_qadr:]
+    # progress bonus: remaining unscramble depth (solve.cc Residual (6))
+    r_progress = rp[idx['_goal_index']][None]
+    return jnp.concatenate([r_pos, r_quat, r_vel, r_act, r_faces, r_hand,
+                            r_progress])
+
+  def transition(m, d, params, key):
+    """Unscramble state machine (solve.cc:209-230): face goals come from
+    the cache at _goal_index; within tolerance -> decrement; at 0 ->
+    Wait. Drop -> reset the cube into the hand, keep the schedule."""
+    rp = params.residual_params
+    dtype = rp.dtype
+    gi = jnp.clip(jnp.round(rp[idx['_goal_index']]).astype(jnp.int32),
+                  0, n_moves)
+    mode = jnp.round(rp[idx['_mode']])
+    faces = d.qpos[face_qadr:face_qadr + 6]
+    goal = cache[gi].astype(dtype)
+    err = jnp.linalg.norm(faces - goal)
+    achieved = jnp.logical_and(mode > 0.5, err < 0.15)
+    solved = jnp.logical_and(achieved, gi == 0)
+    gi_new = jnp.where(jnp.logical_and(achieved, gi > 0), gi - 1, gi)
+    mode_new = jnp.where(solved, 0.0, mode)
+    rp = rp.at[idx['_goal_index']].set(gi_new.astype(dtype))
+    rp = rp.at[idx['_mode']].set(mode_new)
+    # publish current goal into the visible face-goal parameters
+    rp = jax.lax.dynamic_update_slice(
+        rp, cache[gi_new].astype(dtype), (0,))
+
+    dropped = d.site_xpos[cube_site][2] < -0.12
+    reset_pose = jnp.concatenate([
+        jnp.asarray([0., 0., 0.072, 1., 0., 0., 0.], dtype=d.qpos.dtype),
+        d.qpos[7:]])
+    qpos = jnp.where(dropped, reset_pose, d.qpos)
+    qvel = jnp.where(dropped, jnp.zeros_like(d.qvel), d.qvel)
+    return (d.replace(qpos=qpos, qvel=qvel),
+            params.replace(residual_params=rp))
+
+  spec = _build('Cube Solving', 'hands.py', residual, transition,
+                xml_string=xml,
+                state_params=[('_goal_index', float(n_moves - 1)),
+                              ('_mode', 1.0)])
+  home_qpos = spec.model.keyframe_qpos('home')
+  for pname in spec.residual_param_names:
+    idx[pname] = spec.residual_param_names.index(pname)
+  # start face goals at the first unscramble target
+  rp0 = np.array(spec.default_params.residual_params)
+  rp0[0:6] = cache_np[n_moves - 1]
+  params = spec.default_params.replace(
+      residual_params=jnp.asarray(rp0, dtype=jnp.float32))
+  return dataclasses.replace(spec, default_params=params)
+
 
 
 # ---------------------------------------------------------------------------
@@ -897,50 +1236,74 @@ def _op3_stand() -> base.TaskSpec:
 # ---------------------------------------------------------------------------
 
 _TRACK_FPS = 30.0
-_TRACK_SECONDS = 4.0
+_TRACK_SECONDS = 12.0
+_TRACK_MARKERS = (
+    'torso', 'pelvis', 'right_thigh', 'right_shin', 'right_foot',
+    'left_thigh', 'left_shin', 'left_foot', 'right_upper_arm',
+    'right_lower_arm', 'left_upper_arm', 'left_lower_arm')
 
 
-def _walk_clip_keyframes() -> str:
-  """Procedural walking-gait keyframes for humanoid.xml (nq=24)."""
+def _track_clip_qpos() -> np.ndarray:
+  """A 12 s, 30 fps multi-phase motion clip for humanoid.xml (nq=24):
+  walk straight -> 90-degree turn -> walk -> slow to a stop. No-egress
+  stand-in for the reference's CMU clips (tracking.cc:41-54) with the
+  same structure: a long clip whose per-body marker trajectories are
+  baked and tracked (not just qpos)."""
   n = int(_TRACK_FPS * _TRACK_SECONDS)
-  speed, freq, amp = 0.8, 1.4, 0.5
-  keys = []
+  freq, amp = 1.4, 0.5
+  qs = np.zeros((n, 24))
+  x, y, yaw = 0.0, 0.0, 0.0
   for i in range(n):
     t = i / _TRACK_FPS
+    # phase plan: speed and turn rate
+    if t < 4.0:
+      speed, yaw_rate = 0.8, 0.0
+    elif t < 6.0:
+      speed, yaw_rate = 0.6, np.pi / 4    # 90 degrees over 2 s
+    elif t < 10.0:
+      speed, yaw_rate = 0.8, 0.0
+    else:
+      speed, yaw_rate = max(0.0, 0.8 * (12.0 - t) / 2.0), 0.0
+    yaw += yaw_rate / _TRACK_FPS
+    x += speed * np.cos(yaw) / _TRACK_FPS
+    y += speed * np.sin(yaw) / _TRACK_FPS
     ph = 2 * np.pi * freq * t
+    gait = min(speed / 0.8, 1.0)          # gait amplitude scales w/ speed
     q = np.zeros(24)
-    q[0] = speed * t                      # root x advances
-    q[2] = 1.33 + 0.01 * np.cos(2 * ph)   # slight bob
-    q[3] = 1.0                            # identity quat
-    # abdomen_z/y/x
-    q[7] = 0.04 * np.sin(ph)
-    # right leg: hip_x, hip_y, knee, ankle
-    q[10] = 0.0
-    q[11] = -amp * np.sin(ph) - 0.1
-    q[12] = 0.4 * max(0.0, np.sin(ph + np.pi / 2)) + 0.1
-    q[13] = -0.15 * np.sin(ph)
-    # left leg (antiphase)
-    q[14] = 0.0
-    q[15] = amp * np.sin(ph) - 0.1
-    q[16] = 0.4 * max(0.0, -np.sin(ph + np.pi / 2)) + 0.1
-    q[17] = 0.15 * np.sin(ph)
-    # arms swing in antiphase with legs
-    q[18], q[19], q[20] = 0.0, 0.25 * np.sin(ph), -0.3
-    q[21], q[22], q[23] = 0.0, -0.25 * np.sin(ph), -0.3
-    keys.append('    <key name="clip%d" qpos="%s"/>'
-                % (i, ' '.join('%.5f' % v for v in q)))
-  return '\n'.join(keys)
+    q[0], q[1] = x, y
+    q[2] = 1.33 + 0.01 * gait * np.cos(2 * ph)
+    q[3], q[6] = np.cos(yaw / 2), np.sin(yaw / 2)
+    q[7] = 0.04 * gait * np.sin(ph)
+    q[11] = -amp * gait * np.sin(ph) - 0.1
+    q[12] = 0.4 * gait * max(0.0, np.sin(ph + np.pi / 2)) + 0.1
+    q[13] = -0.15 * gait * np.sin(ph)
+    q[15] = amp * gait * np.sin(ph) - 0.1
+    q[16] = 0.4 * gait * max(0.0, -np.sin(ph + np.pi / 2)) + 0.1
+    q[17] = 0.15 * gait * np.sin(ph)
+    q[19], q[20] = 0.25 * gait * np.sin(ph), -0.3
+    q[22], q[23] = -0.25 * gait * np.sin(ph), -0.3
+    qs[i] = q
+  return qs
 
 
 @register('Humanoid Track')
 def _humanoid_track() -> base.TaskSpec:
+  """Mocap tracking (reference: mjpc/tasks/humanoid/tracking/tracking.cc):
+  per-body marker trajectories baked at 30 fps, linear inter-frame
+  interpolation, centered per-marker position residuals plus finite-
+  difference marker-velocity residuals, and a reference-time transition
+  (tracking.cc:101-110, 263-296)."""
+  import mujoco
+
+  nmark = len(_TRACK_MARKERS)
   with open(os.path.join(_MODELS_DIR, 'humanoid.xml')) as f:
     xml = f.read()
-  sensors = """  <sensor>
-    <user name="Track Pose" dim="17" user="0 1.0 0.0 5.0"/>
-    <user name="Track Root" dim="3" user="2 5.0 0.0 10.0 0.01"/>
-    <user name="Track Vel" dim="3" user="0 0.5 0.0 2.0"/>
+  sensors = f"""  <sensor>
+    <user name="Joint Vel" dim="17" user="0 0.01 0.0 0.1"/>
     <user name="Control" dim="17" user="0 0.01 0.0 0.1"/>
+    <user name="Avg Pos" dim="3" user="2 5.0 0.0 10.0 0.01"/>
+    <user name="Marker Pos" dim="{3 * nmark}" user="2 2.0 0.0 10.0 0.02"/>
+    <user name="Marker Vel" dim="{3 * nmark}" user="0 0.05 0.0 0.5"/>
     <framepos name="torso_position" objtype="site" objname="torso_site"/>
   </sensor>"""
   start = xml.index('  <sensor>')
@@ -948,33 +1311,77 @@ def _humanoid_track() -> base.TaskSpec:
   xml = xml[:start] + sensors + xml[end:]
   xml = xml.replace('<mujoco model="Humanoid">',
                     '<mujoco model="Humanoid Track">')
-  xml = xml.replace('  <keyframe>',
-                    '  <keyframe>\n' + _walk_clip_keyframes())
 
-  spec_model, _ = load_model(xml_string=xml)
+  spec_model, mjm_probe = load_model(xml_string=xml)
   torso = spec_model.body('torso')
+  marker_bodies = [spec_model.body(b) for b in _TRACK_MARKERS]
   nclip = int(_TRACK_FPS * _TRACK_SECONDS)
 
-  def clip_qpos(m, t):
-    """Linearly interpolated clip pose at time t (reference
-    tracking.cc:101-110)."""
+  # bake per-body marker trajectories with host-side kinematics (the
+  # reference bakes key_mpos into its task model the same way)
+  clip_q = _track_clip_qpos()
+  mjd_probe = mujoco.MjData(mjm_probe)
+  markers = np.zeros((nclip, nmark, 3))
+  for i in range(nclip):
+    mjd_probe.qpos[:] = clip_q[i]
+    mujoco.mj_kinematics(mjm_probe, mjd_probe)
+    for k, b in enumerate(marker_bodies):
+      markers[i, k] = mjd_probe.xpos[b]
+  markers_j = jnp.asarray(markers, dtype=jnp.float32)
+
+  idx = {}
+
+  def _frames(t):
     ft = jnp.clip(t * _TRACK_FPS, 0.0, nclip - 1.001)
     i0 = jnp.floor(ft).astype(jnp.int32)
-    a = (ft - i0).astype(m.key_qpos.dtype)
-    q0 = m.key_qpos[i0]
-    q1 = m.key_qpos[jnp.minimum(i0 + 1, nclip - 1)]
-    return (1.0 - a) * q0 + a * q1
+    a = ft - i0
+    return i0, jnp.minimum(i0 + 1, nclip - 1), a
 
   def residual(m, d, rp):
-    ref = clip_qpos(m, d.time)
-    pose = d.qpos[7:] - ref[7:]
-    root = d.qpos[:3] - ref[:3]
-    com_vel = support.subtree_linvel(m, d, torso)
-    target_v = jnp.array([0.8, 0.0, 0.0], dtype=d.qpos.dtype)
-    vel = com_vel - target_v
-    return jnp.concatenate([pose, root, vel, d.ctrl])
+    dtype = d.qpos.dtype
+    t = d.time - rp[idx['_ref_time']]
+    i0, i1, a = _frames(t)
+    m0 = markers_j[i0].astype(dtype)            # (nmark, 3)
+    m1 = markers_j[i1].astype(dtype)
+    target = (1.0 - a) * m0 + a * m1
 
-  return _build('Humanoid Track', 'humanoid.xml', residual, xml_string=xml)
+    cur = d.xpos[jnp.asarray(marker_bodies)]    # (nmark, 3)
+    avg_t = target.mean(axis=0)
+    avg_c = cur.mean(axis=0)
+    r_avg = avg_t - avg_c
+    r_pos = ((target - avg_t) - (cur - avg_c)).reshape(-1)
+
+    # finite-difference marker velocity (tracking.cc:189-210)
+    target_v = (m1 - m0) * _TRACK_FPS
+    cur_v = jnp.stack([
+        support.point_velocity(m, d, b, d.xpos[b]) for b in marker_bodies])
+    r_vel = (target_v - cur_v).reshape(-1)
+
+    return jnp.concatenate([d.qvel[6:], d.ctrl, r_avg, r_pos, r_vel])
+
+  def transition(m, d, params, key):
+    """Reference-time handling (tracking.cc TransitionLocked): on a time
+    reset (sim reset / rewind), restart the clip from the current time."""
+    rp = params.residual_params
+    jumped_back = d.time < rp[idx['_last_time']]
+    ref = jnp.where(jumped_back, d.time, rp[idx['_ref_time']])
+    rp = rp.at[idx['_ref_time']].set(ref.astype(rp.dtype))
+    rp = rp.at[idx['_last_time']].set(d.time.astype(rp.dtype))
+    return d, params.replace(residual_params=rp)
+
+  spec = _build('Humanoid Track', 'humanoid.xml', residual, transition,
+                xml_string=xml,
+                state_params=[('_ref_time', 0.0), ('_last_time', 0.0)])
+  for pname in spec.residual_param_names:
+    idx[pname] = spec.residual_param_names.index(pname)
+  # start the sim at the clip's first frame: rewrite the home keyframe
+  key_qpos = spec.model.key_qpos
+  if 'home' in spec.model.keyframe_names:
+    k = spec.model.keyframe_names.index('home')
+    key_qpos = key_qpos.at[k].set(
+        jnp.asarray(clip_q[0], dtype=key_qpos.dtype))
+  model = spec.model.replace(key_qpos=key_qpos)
+  return dataclasses.replace(spec, model=model)
 
 
 # ---------------------------------------------------------------------------

@@ -113,7 +113,7 @@ def test_batch_estimator_tracks():
       force_weight=jnp.asarray([1e2], dtype=DTYPE),
       prior_weight=jnp.asarray(1e-3, dtype=DTYPE),
       max_iterations=4)
-  state = batch_mod.init_state(p, dtype=DTYPE)
+  state = batch_mod.init_state(p, dtype=DTYPE, scale_prior=1e-3)
   state = state.replace(times=jnp.asarray(times[:horizon]) - horizon * 0.01)
 
   upd = jax.jit(lambda st, y, f, t: batch_mod.update(

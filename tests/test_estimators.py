@@ -106,3 +106,72 @@ def test_ground_truth_estimator():
                                      jnp.asarray([0.1]))
     d = fwd.step(model, d.replace(ctrl=jnp.asarray([0.1])))
   np.testing.assert_allclose(state.qpos, d.qpos, atol=1e-12)
+
+
+def test_batch_prior_marginalization_matches_dense_oracle():
+  """Recursive prior update (reference batch_prior_test.cc math): the
+  band-truncated Schur complement from marginalize_prior matches a dense
+  linear-algebra oracle on a random block-banded SPD Hessian."""
+  import numpy as np
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu.estimators import batch as batch_mod
+
+  rng = np.random.default_rng(0)
+  T, nv = 4, 3
+  n = T * nv
+  # random SPD with block-pentadiagonal structure
+  a = rng.standard_normal((n, n))
+  h = a @ a.T + n * np.eye(n)
+  for i in range(T):
+    for j in range(T):
+      if abs(i - j) > 2:
+        h[i * nv:(i + 1) * nv, j * nv:(j + 1) * nv] = 0.0
+
+  p_diag, p_off1 = batch_mod.marginalize_prior(
+      jnp.asarray(h), nv, scale_prior=0.5, damping=0.0)
+
+  # dense oracle: Schur complement removing the first nv variables
+  hc = h[nv:, nv:] - h[nv:, :nv] @ np.linalg.solve(h[:nv, :nv],
+                                                   h[:nv, nv:])
+  for i in range(T - 1):
+    np.testing.assert_allclose(np.asarray(p_diag[i]),
+                               hc[i * nv:(i + 1) * nv, i * nv:(i + 1) * nv],
+                               rtol=1e-5, atol=1e-8)
+  for i in range(T - 2):
+    np.testing.assert_allclose(
+        np.asarray(p_off1[i]),
+        hc[(i + 1) * nv:(i + 2) * nv, i * nv:(i + 1) * nv],
+        rtol=1e-5, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(p_diag[T - 1]), 0.5 * np.eye(nv))
+
+
+def test_batch_recursive_prior_update_runs():
+  """Batch filter with the recursive band prior: updates run, estimates
+  stay finite, and the prior matrix departs from the initial scalar*I."""
+  import numpy as np
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu.estimators import batch as batch_mod
+  from mujoco_mpc_tpu.estimators import direct as direct_mod
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('Cartpole')
+  m = spec.model
+  template = make_data(m)
+  p = direct_mod.make_problem(m, template, 4)
+  settings = direct_mod.default_settings(p).replace(
+      max_iterations=3, prior_weight=jnp.asarray(0.1, jnp.float32))
+  state = batch_mod.init_state(p, scale_prior=0.1)
+  p0 = np.array(state.prior_diag)
+
+  for i in range(3):
+    sensor = 0.01 * np.ones(p.sensor_dim, np.float32)
+    force = np.zeros(m.nv, np.float32)
+    state, info = batch_mod.update(
+        p, state, settings, jnp.asarray(sensor), jnp.asarray(force),
+        jnp.asarray(0.01 * (i + 4), jnp.float32),
+        jnp.asarray(0.01, jnp.float32), recursive_prior=True)
+  assert np.all(np.isfinite(np.asarray(state.qpos_window)))
+  assert np.all(np.isfinite(np.asarray(state.prior_diag)))
+  # the prior absorbed measurement information (no longer scalar*I)
+  assert np.abs(np.asarray(state.prior_diag)[0] - p0[0]).max() > 1e-3

@@ -47,19 +47,6 @@ def test_registry_covers_reference_task_families():
   assert not missing, missing
 
 
-def test_cube_solving_schedule_advances():
-  spec = registry.get_task('Cube Solving')
-  d = make_data(spec.model)
-  d = fwd.forward(spec.model, d)
-  # cube starts at the first goal (identity) -> transition advances index
-  d2, _ = spec.transition_fn(spec.model, d, spec.default_params,
-                             jax.random.key(0))
-  assert float(d2.userdata[0]) == 1.0
-  # now the goal is a quarter-turn away -> cost is nonzero
-  r = spec.residual_fn(spec.model, d2, spec.default_params.residual_params)
-  assert float(spec.cost(r, spec.default_params)) > 0.01
-
-
 def test_shadow_reorient_drop_recovery():
   spec = registry.get_task('Shadow Reorient')
   d = make_data(spec.model)
@@ -72,14 +59,81 @@ def test_shadow_reorient_drop_recovery():
   assert float(d2.qpos[2]) > 0.0  # teleported back above the palm
 
 
-def test_humanoid_track_clip_interpolation():
-  spec = registry.get_task('Humanoid Track')
+def test_rubik_face_mechanism_and_state_machine():
+  """Face-turn mechanism (reference solve.cc): face hinges exist, goals
+  come from the cache, and two consecutive scheduled face-goals advance
+  the unscramble state machine."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from mujoco_mpc_tpu.physics import forward as fwd
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.tasks import registry
+  from mujoco_mpc_tpu.tasks.registry import _rubik_face_schedule
+
+  spec = registry.get_task('Cube Solving')
+  names = spec.residual_param_names
+  idx = {n: names.index(n) for n in names}
+  cache, scrambled = _rubik_face_schedule(5)
   m = spec.model
-  assert m.key_qpos.shape[0] >= 120
-  d = make_data(m)
+  assert m.nq == 7 + 6 + 15   # cube free + 6 faces + 15 hand dofs
+
+  d = make_data(m).replace(qpos=m.keyframe_qpos('home'))
   d = fwd.forward(m, d)
-  r0 = spec.residual_fn(m, d, spec.default_params.residual_params)
-  d1 = fwd.forward(m, d.replace(time=jnp.asarray(0.5, dtype=d.qpos.dtype)))
-  r1 = spec.residual_fn(m, d1, spec.default_params.residual_params)
-  # tracking target moves with time
-  assert not np.allclose(np.array(r0[:17]), np.array(r1[:17]))
+  r = spec.residual_fn(m, d, spec.default_params.residual_params)
+  assert r.shape == (spec.num_residual,)
+
+  # scrambled home state: face angles match the schedule's end state
+  np.testing.assert_allclose(np.asarray(d.qpos[7:13]), scrambled,
+                             atol=1e-5)
+
+  params = spec.default_params
+  gi0 = int(round(float(params.residual_params[idx['_goal_index']])))
+  assert gi0 == 4
+  # achieve goal 4 (set faces to cache[4]): index decrements to 3 and the
+  # published goal becomes cache[3]
+  qp = np.array(d.qpos)
+  qp[7:13] = cache[4]
+  d4 = fwd.forward(m, d.replace(qpos=jnp.asarray(qp, d.qpos.dtype)))
+  d4, params = spec.transition_fn(m, d4, params, jax.random.key(0))
+  assert int(round(float(params.residual_params[idx['_goal_index']]))) == 3
+  np.testing.assert_allclose(np.asarray(params.residual_params[0:6]),
+                             cache[3], atol=1e-5)
+  # achieve goal 3: decrements again (two consecutive face-goals)
+  qp[7:13] = cache[3]
+  d3 = fwd.forward(m, d4.replace(qpos=jnp.asarray(qp, d.qpos.dtype)))
+  d3, params = spec.transition_fn(m, d3, params, jax.random.key(1))
+  assert int(round(float(params.residual_params[idx['_goal_index']]))) == 2
+  # walk the rest of the schedule down to solved -> Wait mode
+  for k in jax.random.split(jax.random.key(2), 3):
+    gi = int(round(float(params.residual_params[idx['_goal_index']])))
+    qp[7:13] = cache[gi]
+    dk = fwd.forward(m, d3.replace(qpos=jnp.asarray(qp, d.qpos.dtype)))
+    _, params = spec.transition_fn(m, dk, params, k)
+  assert int(round(float(params.residual_params[idx['_mode']]))) == 0
+
+
+def test_rubik_face_turnable_by_contact():
+  """A fingertip pressing tangentially on a face nub turns the hinge:
+  the faces are physically actuated through contact, not scripted."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from mujoco_mpc_tpu.physics import forward as fwd
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('Cube Solving')
+  m = spec.model
+  d = make_data(m).replace(qpos=m.keyframe_qpos('home'))
+  # drive the fingers to close on the cube; any face hinge should move
+  # away from its scrambled rest angle under fingertip contact torque
+  start = np.array(d.qpos[7:13])
+  step = jax.jit(fwd.step)
+  ctrl = jnp.asarray(np.tile([1.2, 1.2, 1.0], 5), dtype=d.qpos.dtype)
+  d = d.replace(ctrl=ctrl)
+  for _ in range(80):
+    d = step(m, d)
+  moved = np.abs(np.array(d.qpos[7:13]) - start).max()
+  assert np.isfinite(moved)
+  assert moved > 0.01, f'faces did not move under contact ({moved})'

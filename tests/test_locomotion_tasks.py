@@ -92,3 +92,131 @@ def test_humanoid_transition_free():
   walk = registry.get_task('Humanoid Walk')
   sidx = walk.residual_param_names.index('Speed Goal')
   assert float(walk.default_params.residual_params[sidx]) > 0
+
+
+def test_quadruped_modes_and_flip_trajectory():
+  """Mode machinery (reference quadruped.h:40-47): biped/flip residuals
+  change, flip tracks FlipHeight/FlipQuat, auto-gait switches with speed."""
+  import jax
+  spec = registry.get_task('Quadruped Flat')
+  names = spec.residual_param_names
+  idx = {n: names.index(n) for n in names}
+  rp = np.array(spec.default_params.residual_params)
+  d = make_data(spec.model).replace(qpos=spec.model.keyframe_qpos('home'))
+  d = fwd.forward(spec.model, d)
+
+  # Quadruped vs Biped: upright residual differs
+  r_quad = np.array(spec.residual_fn(spec.model, d,
+                                     jnp.asarray(rp, jnp.float32)))
+  rp_b = rp.copy()
+  rp_b[idx['select_Mode']] = 1.0
+  r_biped = np.array(spec.residual_fn(spec.model, d,
+                                      jnp.asarray(rp_b, jnp.float32)))
+  assert abs(r_quad[0] - r_biped[0]) > 0.5  # standing is NOT biped-upright
+
+  # Flip: at mode_time 0 from home orientation, upright residual ~0 and
+  # height target ~ stand height; mid-flight the height target is higher
+  rp_f = rp.copy()
+  rp_f[idx['select_Mode']] = 4.0
+  rp_f[idx['_mode_start']] = 0.0
+  r_flip0 = np.array(spec.residual_fn(spec.model, d,
+                                      jnp.asarray(rp_f, jnp.float32)))
+  assert abs(r_flip0[3]) < 0.1   # height ~ stand target at t=0
+  # mid-flight (t ~ jump_time + flight_time/2 ~ 0.74 s): the height
+  # target approaches the flip apex (~0.8 m)
+  d_mid = d.replace(time=jnp.asarray(0.74, dtype=d.qpos.dtype))
+  d_mid = fwd.forward(spec.model, d_mid)
+  r_mid = np.array(spec.residual_fn(spec.model, d_mid,
+                                    jnp.asarray(rp_f, jnp.float32)))
+  # height target well above stand -> big negative residual while standing
+  assert r_mid[3] < -0.25
+  # orientation target rotated away from identity
+  assert np.linalg.norm(r_mid[0:3]) > 0.3
+
+  # auto-gait: fast filtered com speed switches the gait up
+  rp_a = rp.copy()
+  rp_a[idx['select_Gait switch']] = 1.0
+  rp_a[idx['select_Gait']] = 0.0
+  rp_a[idx['_cur_gait']] = 0.0
+  rp_a[idx['_comvel_x']] = 1.0   # pre-filtered ~1 m/s -> canter band
+  rp_a[idx['_gait_switch_t']] = -10.0
+  rp_a[idx['_last_t']] = 2.0     # dt=0: keep the preset filter value
+  params = spec.default_params.replace(
+      residual_params=jnp.asarray(rp_a, jnp.float32))
+  d_t = d.replace(time=jnp.asarray(2.0, dtype=d.qpos.dtype))
+  _, new_params = spec.transition_fn(spec.model, d_t, params,
+                                     jax.random.key(0))
+  new_gait = float(new_params.residual_params[idx['select_Gait']])
+  assert round(new_gait) == 3  # canter band (0.6 < v <= 2)
+  # gait preset applied: cadence updated to canter's 4 Hz
+  assert abs(float(new_params.residual_params[0]) - 4.0) < 1e-5
+
+
+def test_quadruped_hill_ground_raycast():
+  """Terrain raycast: ground height on Hill is elevated on a step box."""
+  from mujoco_mpc_tpu.physics import support
+  spec = registry.get_task('Quadruped Hill')
+  m = spec.model
+  d = make_data(m).replace(qpos=spec.model.keyframe_qpos('home'))
+  d = fwd.forward(m, d)
+  # flat at origin
+  h0 = float(support.ground_height(m, d, jnp.asarray([0.0, 0.0, 0.5])))
+  assert abs(h0) < 1e-6
+  # find a step box and query above its center
+  import mujoco
+  mjm = spec.mj_model
+  for g in range(mjm.ngeom):
+    name = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_GEOM, g)
+    if name and name.startswith('step'):
+      x, y, z = mjm.geom_pos[g]
+      h = float(support.ground_height(
+          m, d, jnp.asarray([float(x), float(y), 0.5])))
+      assert h > 0.01, (name, h)
+      break
+  else:
+    raise AssertionError('no step geom found')
+
+
+def test_humanoid_track_markers_over_full_clip():
+  """Marker tracking machinery (reference tracking.cc): when the sim pose
+  follows the clip exactly, position residuals stay ~0 across the FULL
+  12 s clip; a constant offset appears only in the Avg Pos term (the
+  per-marker term is centered)."""
+  from mujoco_mpc_tpu.tasks.registry import (_track_clip_qpos, _TRACK_FPS,
+                                             _TRACK_MARKERS)
+  spec = registry.get_task('Humanoid Track')
+  m = spec.model
+  rp = spec.default_params.residual_params
+  clip = _track_clip_qpos()
+  nmark = len(_TRACK_MARKERS)
+
+  for i in [0, 90, 180, 270, 359]:     # spread over all 12 s
+    t = i / _TRACK_FPS
+    d = make_data(m).replace(qpos=jnp.asarray(clip[i], m.qpos0.dtype),
+                             time=jnp.asarray(t, m.qpos0.dtype))
+    d = fwd.forward(m, d)
+    r = np.array(spec.residual_fn(m, d, rp))
+    avg = r[34:37]
+    marker_pos = r[37:37 + 3 * nmark]
+    assert np.abs(avg).max() < 0.02, (i, np.abs(avg).max())
+    assert np.abs(marker_pos).max() < 0.02, (i, np.abs(marker_pos).max())
+
+  # offset pose: per-marker residual stays small (centered), avg catches it
+  d = make_data(m).replace(
+      qpos=jnp.asarray(clip[90], m.qpos0.dtype).at[0].add(0.5),
+      time=jnp.asarray(3.0, m.qpos0.dtype))
+  d = fwd.forward(m, d)
+  r = np.array(spec.residual_fn(m, d, rp))
+  assert np.abs(r[34:37]).max() > 0.4
+  assert np.abs(r[37:37 + 3 * nmark]).max() < 0.05
+
+  # reference-time transition: rewinding the sim clock restarts the clip
+  import jax
+  params = spec.default_params
+  names = spec.residual_param_names
+  d_fwd = d.replace(time=jnp.asarray(5.0, m.qpos0.dtype))
+  _, params = spec.transition_fn(m, d_fwd, params, jax.random.key(0))
+  d_back = d.replace(time=jnp.asarray(0.5, m.qpos0.dtype))
+  _, params = spec.transition_fn(m, d_back, params, jax.random.key(0))
+  assert abs(float(params.residual_params[names.index('_ref_time')])
+             - 0.5) < 1e-6

@@ -138,3 +138,45 @@ def test_mode_rpcs_and_parameter_bundle():
   p = MjpcParameters(mode=1, task_parameters={'Goal': 0.1},
                      cost_weights={'Velocity': 0.5})
   assert p.mode == 1 and p.mocap_pos is None
+
+
+def test_set_anything_and_inline_model():
+  """SetAnything one-call update + Init with an inline model XML
+  (reference: agent.proto SetAnything / Init model field)."""
+  svc = AgentService()
+  import mujoco
+  xml = mujoco.MjModel.from_xml_path(
+      'mujoco_mpc_tpu/models/cartpole.xml') and open(
+      'mujoco_mpc_tpu/models/cartpole.xml').read()
+  svc.Init(agent_pb2.InitRequest(task_id='Cartpole', planner_id=0,
+                                 num_samples=7,
+                                 model=agent_pb2.MjModel(xml=xml)))
+  req = agent_pb2.SetAnythingRequest(
+      state=agent_pb2.State(qpos=[0.3, 2.0], qvel=[0.1, 0.0]))
+  req.parameters['Goal'] = 0.5
+  req.cost_weights['Velocity'] = 0.11
+  svc.SetAnything(req)
+  st = svc.GetState(agent_pb2.GetStateRequest())
+  np.testing.assert_allclose(list(st.state.qpos), [0.3, 2.0])
+  tp = svc.GetTaskParameters(agent_pb2.GetTaskParametersRequest())
+  assert abs(tp.parameters['Goal'] - 0.5) < 1e-6
+  cw = svc.GetCostValuesAndWeights(
+      agent_pb2.GetCostValuesAndWeightsRequest())
+  assert abs(cw.values_weights['Velocity'].weight - 0.11) < 1e-6
+
+
+def test_direct_noise_reset_sensorinfo():
+  """Direct Noise / Reset / SensorInfo parity tail
+  (reference: direct.proto:29-37)."""
+  svc = DirectService()
+  svc.Init(direct_pb2.DirectInitRequest(task_id='Cartpole',
+                                        configuration_length=3))
+  info = svc.SensorInfo(direct_pb2.DirectSensorInfoRequest())
+  assert len(info.dim) == len(info.name)
+  ns = svc.Noise(direct_pb2.DirectNoiseRequest(process=[0.5, 0.5]))
+  np.testing.assert_allclose(list(ns.process), [0.5, 0.5])
+  svc.Data(direct_pb2.DirectDataRequest(
+      index=1, configuration=[0.2, 0.1], time=[0.01]))
+  svc.Reset(direct_pb2.DirectResetRequest())
+  d = svc.Data(direct_pb2.DirectDataRequest(index=1))
+  np.testing.assert_allclose(list(d.configuration), [0.0, 0.0], atol=1e-12)
