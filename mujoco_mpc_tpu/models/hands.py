@@ -27,7 +27,7 @@ def _digit(name: str, pos: str, yaw_deg: float = 0.0) -> str:
                   mass="0.012" contype="4" conaffinity="2"/>
             <geom name="{name}_tipg" type="sphere" size="0.009"
                   pos="0.022 0 0" friction="1.8" mass="0.006"
-                  contype="4" conaffinity="2"/>
+                  contype="12" conaffinity="10"/>
             <site name="{name}_site" pos="0.022 0 0"/>
           </body>
         </body>
@@ -131,14 +131,14 @@ def _rubik_face(axis_name: str, axis: str, pos: str, euler: str,
         f'<geom name="{axis_name}_nub{i}" type="box" '
         f'size="{nub:.4f} {nub:.4f} {nub:.4f}" '
         f'pos="{u * plate:.4f} {v * plate:.4f} {0.006 + nub:.4f}" '
-        f'mass="0.002" friction="1.8" contype="2" conaffinity="4"/>')
+        f'mass="0.002" friction="1.8" contype="8" conaffinity="0"/>')
   return f"""
       <body name="face_{axis_name}" pos="{pos}" euler="{euler}">
         <joint name="face_{axis_name}" type="hinge" axis="0 0 1"
                damping="0.02" armature="0.0005" limited="false"/>
         <geom name="{axis_name}_plate" type="box"
               size="{plate:.4f} {plate:.4f} 0.006" mass="0.01"
-              friction="1.5" contype="2" conaffinity="4"/>
+              friction="1.5" contype="8" conaffinity="0"/>
         {''.join(nubs)}
       </body>"""
 

@@ -144,6 +144,246 @@ def _sphere_box(c, r, bc, bmat, bsize):
   return [ContactPoint(dist, pos, n)]
 
 
+def _box_box_sat(p1, m1, s1, p2, m2, s2):
+  """Box-box via the separating-axis test with a clipped face manifold.
+
+  Replaces the round-1 corner approximation (VERDICT). 15 SAT axes (6
+  face normals + 9 edge cross products); the minimum-penetration FACE
+  axis produces a 4-point manifold (the incident face's vertices clamped
+  into the reference face rectangle — the branchless stand-in for
+  Sutherland-Hodgman clipping), and the minimum-penetration EDGE axis
+  produces one closest-point contact. All 5 candidate points are emitted
+  with static shapes; the non-selected family is masked to a far
+  distance, so constraint rows stay inactive. Validated against mjd.efc_*
+  in tests/test_contacts.py.
+  """
+  dtype = p1.dtype
+  big = jnp.asarray(1e6, dtype=dtype)
+  eps = 1e-9
+
+  r = m1.T @ m2                       # box2 axes in box1 frame
+  t = m1.T @ (p2 - p1)                # box2 center in box1 frame
+  absr = jnp.abs(r) + eps
+
+  # face axes of box1 (axes e_i in box1 frame)
+  sep1 = jnp.abs(t) - (s1 + absr @ s2)                       # (3,)
+  # face axes of box2 (box1 in box2 frame: t2 = -r.T t)
+  t2f = r.T @ t
+  sep2 = jnp.abs(t2f) - (s2 + absr.T @ s1)                   # (3,)
+
+  # edge-edge axes cross(e_i, b_j) in box1 frame
+  def edge_sep(i, j):
+    axis = jnp.cross(jnp.zeros(3, dtype=dtype).at[i].set(1.0), r[:, j])
+    ln = jnp.linalg.norm(axis)
+    axis_n = axis / jnp.maximum(ln, eps)
+    ra = jnp.sum(s1 * jnp.abs(axis_n))
+    rb = jnp.sum(s2 * jnp.abs(r.T @ axis_n))
+    sep = jnp.abs(jnp.dot(t, axis_n)) - (ra + rb)
+    # degenerate (parallel edges): never the separating axis
+    return jnp.where(ln < 1e-6, -big, sep), axis_n
+
+  edge_seps, edge_axes = [], []
+  for i in range(3):
+    for j in range(3):
+      se, ax = edge_sep(i, j)
+      edge_seps.append(se)
+      edge_axes.append(ax)
+  edge_seps = jnp.stack(edge_seps)                           # (9,)
+  edge_axes = jnp.stack(edge_axes)                           # (9, 3)
+
+  face_seps = jnp.concatenate([sep1, sep2])                  # (6,)
+  best_face = jnp.argmax(face_seps)
+  best_edge = jnp.argmax(edge_seps)
+  # prefer faces unless an edge axis is clearly better (standard SAT
+  # face bias avoids jitter between equivalent axes)
+  face_sep = face_seps[best_face]
+  edge_sep_v = edge_seps[best_edge]
+  use_edge = edge_sep_v > face_sep + 1e-4
+  separation = jnp.maximum(face_sep, edge_sep_v)
+
+  # ---- face manifold ----
+  # reference box A = box1 if best_face < 3 else box2
+  a_is_1 = best_face < 3
+  ia = jnp.where(a_is_1, best_face, best_face - 3)
+  ca, mata, sa = (jnp.where(a_is_1, p1, p2),
+                  jnp.where(a_is_1, m1, m2), jnp.where(a_is_1, s1, s2))
+  cb, matb, sb = (jnp.where(a_is_1, p2, p1),
+                  jnp.where(a_is_1, m2, m1), jnp.where(a_is_1, s2, s1))
+  axis_a = mata[:, ia]                                       # world
+  sign_a = jnp.sign(jnp.dot(cb - ca, axis_a))
+  n_ref = axis_a * sign_a          # reference normal, A -> B
+  # incident face of B: axis most anti-parallel to n_ref
+  dots = matb.T @ n_ref                                      # (3,)
+  jb = jnp.argmax(jnp.abs(dots))
+  sign_b = -jnp.sign(dots[jb])
+  n_inc = matb[:, jb] * sign_b
+  face_center_b = cb + n_inc * sb[jb]
+  # tangent axes of the incident face
+  j1 = jnp.mod(jb + 1, 3)
+  j2 = jnp.mod(jb + 2, 3)
+  tb1 = matb[:, j1] * sb[j1]
+  tb2 = matb[:, j2] * sb[j2]
+  face_pts = []
+  for su in (-1.0, 1.0):
+    for sv in (-1.0, 1.0):
+      v = face_center_b + su * tb1 + sv * tb2                # world
+      # clamp into the reference face rectangle (A's local frame)
+      vl = mata.T @ (v - ca)
+      vl_clamped = jnp.clip(vl, -sa, sa)
+      # keep the normal-direction coordinate (depth), clamp tangentials
+      keep = jnp.zeros(3, dtype=dtype).at[ia].set(1.0)
+      vl2 = keep * vl + (1.0 - keep) * vl_clamped
+      vw = ca + mata @ vl2
+      depth = jnp.dot(vw - ca, n_ref) - jnp.sum(
+          sa * jnp.abs(mata.T @ n_ref))
+      dist = jnp.where(use_edge, big, depth)
+      # world normal oriented from g1 to g2
+      n_out = jnp.where(a_is_1, n_ref, -n_ref)
+      pos = vw - 0.5 * depth * n_ref
+      face_pts.append(ContactPoint(dist, pos, n_out))
+
+  # ---- edge manifold ----
+  i_e = best_edge // 3
+  j_e = best_edge % 3
+  axis_w = m1 @ edge_axes[best_edge]
+  axis_w = axis_w * jnp.sign(jnp.dot(p2 - p1, axis_w))       # g1 -> g2
+  # supporting edge on box1: the edge along e_i closest to box2
+  sup1 = jnp.sign(m1.T @ axis_w)
+  sup1 = sup1.at[i_e].set(0.0)
+  e1c = p1 + m1 @ (sup1 * s1)
+  e1a = m1[:, i_e]
+  sup2 = -jnp.sign(m2.T @ axis_w)
+  sup2 = sup2.at[j_e].set(0.0)
+  e2c = p2 + m2 @ (sup2 * s2)
+  e2a = m2[:, j_e]
+  q1, q2 = _segment_closest(e1c, e1a, s1[i_e], e2c, e2a, s2[j_e])
+  edge_dist = jnp.where(use_edge, separation, big)
+  edge_pos = 0.5 * (q1 + q2)
+  face_pts.append(ContactPoint(edge_dist, edge_pos, axis_w))
+  return face_pts
+
+
+def _plane_cylinder(pp, pn, c, mat, size):
+  """Plane vs cylinder, exact rim/disc contacts (replaces the round-1
+  bounding-sphere approximation). Up to 3 points: the deepest rim point
+  of each end disc plus the opposite rim point of the deeper disc when
+  the cylinder lies flat."""
+  dtype = c.dtype
+  r, half = size[0], size[1]
+  axis = mat[:, 2]
+  a_dot = jnp.dot(pn, axis)
+  # radial direction of steepest descent on the disc plane
+  rad = pn - a_dot * axis
+  ln = jnp.linalg.norm(rad)
+  # when axis ~ parallel to normal, any radial direction works
+  fallback = mat[:, 0]
+  rad_n = jnp.where(ln > 1e-8, rad / jnp.maximum(ln, 1e-12), fallback)
+  pts = []
+  for send in (-1.0, 1.0):
+    disc = c + send * half * axis
+    deep = disc - r * rad_n
+    dist = jnp.dot(pn, deep - pp)
+    pts.append(ContactPoint(dist, deep - 0.5 * dist * pn, pn))
+  # lying flat: second rim point of each disc (the +rad_n side touches
+  # too when axis is perpendicular to the plane normal)
+  flat = jnp.abs(a_dot) < 0.05
+  for send in (-1.0, 1.0):
+    disc = c + send * half * axis
+    other = disc + r * rad_n
+    dist0 = jnp.dot(pn, other - pp)
+    dist = jnp.where(flat, dist0, jnp.asarray(1e6, dtype=dtype))
+    pts.append(ContactPoint(dist, other - 0.5 * dist0 * pn, pn))
+  return pts
+
+
+def _points_vs_halfspaces(world_pts, face_n, face_b, k=4):
+  """Depth of world points against world halfspaces (n.x + b, <= 0
+  inside); emit the k deepest as contacts with the argmax-face normal.
+  Exact for face-region contacts of a convex hull; the edge/corner
+  regions resolve through the deepest-face approximation (shallow
+  contacts dominate in practice)."""
+  phi = world_pts @ face_n.T + face_b[None, :]        # (P, F)
+  fstar = jnp.argmax(phi, axis=1)                     # (P,)
+  depth = jnp.take_along_axis(phi, fstar[:, None], axis=1)[:, 0]
+  normals = face_n[fstar]                             # (P, 3)
+  kk = min(k, world_pts.shape[0])
+  neg_top, idx = jax.lax.top_k(-depth, kk)
+  pts = []
+  for i in range(kk):
+    j = idx[i]
+    dist = depth[j]
+    n = normals[j]
+    pts.append(ContactPoint(dist, world_pts[j] - 0.5 * dist * n, n))
+  return pts
+
+
+def _hull_world(m: Model, d: Data, g: int):
+  """Mesh hull (verts, face normals, face offsets) in world frame."""
+  verts_l, n_l, b_l = m.geom_mesh[g]
+  c, mat = d.geom_xpos[g], d.geom_xmat[g]
+  verts_w = c + verts_l @ mat.T
+  n_w = n_l @ mat.T
+  b_w = b_l - n_w @ c
+  return verts_w, n_w, b_w
+
+
+def _plane_mesh(m: Model, d: Data, pp, pn, g2, k=4):
+  """Plane vs mesh hull: the k deepest hull vertices below the plane."""
+  verts_w, _, _ = _hull_world(m, d, g2)
+  dist = (verts_w - pp[None]) @ pn                    # (V,)
+  kk = min(k, verts_w.shape[0])
+  _, idx = jax.lax.top_k(-dist, kk)
+  pts = []
+  for i in range(kk):
+    j = idx[i]
+    pts.append(ContactPoint(dist[j], verts_w[j] - 0.5 * dist[j] * pn, pn))
+  return pts
+
+
+def _sphere_mesh(m: Model, d: Data, c, r, g2):
+  """Sphere vs mesh hull: max-halfspace signed distance (exact in face
+  regions) gives depth and normal."""
+  _, n_w, b_w = _hull_world(m, d, g2)
+  phi = n_w @ c + b_w                                 # (F,)
+  f = jnp.argmax(phi)
+  n = n_w[f]                                          # hull -> sphere
+  dist = phi[f] - r
+  pos = c - n * (r + 0.5 * dist)
+  # normal oriented g1(sphere) -> g2(mesh) = -n
+  return [ContactPoint(dist, pos, -n)]
+
+
+def _box_mesh(m: Model, d: Data, g1, g2):
+  """Box vs mesh hull: box corners vs hull halfspaces + hull verts vs the
+  box's halfspaces (both ways, 4 deepest each)."""
+  p1, m1, s1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
+  verts_w, n_w, b_w = _hull_world(m, d, g2)
+  dtype = p1.dtype
+  corners = jnp.array([[sx, sy, sz] for sx in (-1., 1.)
+                       for sy in (-1., 1.) for sz in (-1., 1.)],
+                      dtype=dtype) * s1[None, :]
+  corners_w = p1[None] + corners @ m1.T
+  # corners into hull: normal points hull->corner; orient g1->g2 = -n
+  pts = [ContactPoint(c.dist, c.pos, -c.normal)
+         for c in _points_vs_halfspaces(corners_w, n_w, b_w)]
+  # hull verts into box halfspaces (6 faces)
+  box_n = jnp.concatenate([m1.T, -m1.T], axis=0)      # (6, 3) world
+  box_b = jnp.concatenate([-(m1.T @ p1) - s1, (m1.T @ p1) - s1])
+  pts += _points_vs_halfspaces(verts_w, box_n, box_b)
+  return pts
+
+
+def _mesh_mesh(m: Model, d: Data, g1, g2):
+  v1, n1, b1 = _hull_world(m, d, g1)
+  v2, n2, b2 = _hull_world(m, d, g2)
+  # verts of 1 into hull 2 (normal hull2->vert, orient g1->g2 = -n)
+  pts = [ContactPoint(c.dist, c.pos, -c.normal)
+         for c in _points_vs_halfspaces(v1, n2, b2)]
+  # verts of 2 into hull 1 (normal hull1->vert = g1->g2 already)
+  pts += _points_vs_halfspaces(v2, n1, b1)
+  return pts
+
+
 def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
   """Candidate contacts for one geom pair; normal from g1 towards g2."""
   t1, t2 = m.geom_type[g1], m.geom_type[g2]
@@ -159,9 +399,13 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
       return _plane_capsule(p1, pn, p2, m2[:, 2], s2[1], s2[0])
     if t2 == GeomType.BOX:
       return _plane_box(p1, pn, p2, m2, s2)
-    if t2 == GeomType.CYLINDER or t2 == GeomType.ELLIPSOID:
+    if t2 == GeomType.CYLINDER:
+      return _plane_cylinder(p1, pn, p2, m2, s2)
+    if t2 == GeomType.ELLIPSOID:
       # approximate with bounding sphere (round 1)
       return _plane_sphere(p1, pn, p2, jnp.min(s2[:2]))
+    if t2 == GeomType.MESH:
+      return _plane_mesh(m, d, p1, pn, g2)
     return []
   if t1 == GeomType.SPHERE:
     if t2 == GeomType.SPHERE:
@@ -173,23 +417,15 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
       pts = _sphere_box(p1, s1[0], p2, m2, s2)
       # _sphere_box normal points box->sphere = g2->g1; flip
       return [ContactPoint(c.dist, c.pos, -c.normal) for c in pts]
+    if t2 == GeomType.MESH:
+      return _sphere_mesh(m, d, p1, s1[0], g2)
     return []
   if t1 == GeomType.BOX and t2 == GeomType.BOX:
-    # corner-point approximation: each box's vertices tested against the
-    # other box (sufficient for stacking/insertion between axis-scale
-    # boxes; full SAT clipping is a follow-up)
-    pts = []
-    corners = jnp.array([[sx, sy, sz] for sx in (-1., 1.)
-                         for sy in (-1., 1.) for sz in (-1., 1.)],
-                        dtype=p1.dtype)
-    for c in corners:
-      v2 = p2 + m2 @ (c * s2)           # corner of box2 in world
-      sub = _sphere_box(v2, 0.0, p1, m1, s1)
-      pts.extend(sub)                   # normal already points box1->corner
-      v1 = p1 + m1 @ (c * s1)           # corner of box1 in world
-      sub = _sphere_box(v1, 0.0, p2, m2, s2)
-      pts.extend(ContactPoint(q.dist, q.pos, -q.normal) for q in sub)
-    return pts
+    return _box_box_sat(p1, m1, s1, p2, m2, s2)
+  if t1 == GeomType.BOX and t2 == GeomType.MESH:
+    return _box_mesh(m, d, g1, g2)
+  if t1 == GeomType.MESH and t2 == GeomType.MESH:
+    return _mesh_mesh(m, d, g1, g2)
   if t1 == GeomType.CAPSULE:
     if t2 == GeomType.CAPSULE:
       q1, q2 = _segment_closest(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
@@ -201,6 +437,12 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
         e = p1 + s * s1[1] * m1[:, 2]
         sub = _sphere_box(e, s1[0], p2, m2, s2)
         pts.extend(ContactPoint(c.dist, c.pos, -c.normal) for c in sub)
+      return pts
+    if t2 == GeomType.MESH:
+      pts = []
+      for sgn in (-1.0, 1.0):
+        e = p1 + sgn * s1[1] * m1[:, 2]
+        pts.extend(_sphere_mesh(m, d, e, s1[0], g2))
       return pts
     return []
   return []

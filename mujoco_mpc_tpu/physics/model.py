@@ -20,7 +20,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import enum
-from typing import Any, Tuple
+from typing import Any, Dict, Tuple
 
 from flax import struct
 import jax
@@ -210,6 +210,12 @@ class Model:
   actuator_biasprm: jax.Array = None  # (nu, k)
   actuator_ctrlrange: jax.Array = None  # (nu, 2)
   actuator_forcerange: jax.Array = None  # (nu, 2)
+
+  # convex-hull data for MESH geoms: geom id -> (hull verts (V, 3),
+  # face normals (F, 3), face offsets (F,)), all in the geom frame.
+  # Computed at model compile (scipy ConvexHull); a dict-of-arrays pytree
+  # so shapes stay static per geom.
+  geom_mesh: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = None
 
   # fixed tendons (wrap type joint only; spatial tendons rejected at
   # compile). Moments are configuration-independent, so both maps are
@@ -444,6 +450,30 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       ten_moment[ti, mj.jnt_dofadr[j]] += coef
       ten_qmat[ti, mj.jnt_qposadr[j]] += coef
 
+  # convex hulls for mesh geoms (vertex cap keeps narrowphase tensors
+  # small; farthest-point subsampling preserves the silhouette)
+  geom_mesh = {}
+  for g in range(mj.ngeom):
+    if int(mj.geom_type[g]) == 7:     # mjGEOM_MESH
+      from scipy.spatial import ConvexHull
+      mid = int(mj.geom_dataid[g])
+      va, vn = int(mj.mesh_vertadr[mid]), int(mj.mesh_vertnum[mid])
+      verts = np.array(mj.mesh_vert[va:va + vn], dtype=np.float64)
+      hull = ConvexHull(verts)
+      hv = verts[hull.vertices]
+      if hv.shape[0] > 32:
+        keep = [0]
+        d2 = np.sum((hv - hv[0]) ** 2, axis=1)
+        for _ in range(31):
+          k = int(np.argmax(d2))
+          keep.append(k)
+          d2 = np.minimum(d2, np.sum((hv - hv[k]) ** 2, axis=1))
+        hv = hv[sorted(set(keep))]
+      eqs = hull.equations                      # n.x + b <= 0 inside
+      if eqs.shape[0] > 64:
+        eqs = eqs[np.argsort(eqs[:, 3])[:64]]
+      geom_mesh[g] = (f(hv), f(eqs[:, :3]), f(eqs[:, 3]))
+
   opt = Option(
       timestep=f(mj.opt.timestep),
       gravity=f(np.zeros(3) if gravity_disabled else mj.opt.gravity),
@@ -551,6 +581,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       actuator_biasprm=f(mj.actuator_biasprm),
       actuator_ctrlrange=f(mj.actuator_ctrlrange),
       actuator_forcerange=f(mj.actuator_forcerange),
+      geom_mesh=geom_mesh,
       eq_data=f(mj.eq_data),
       eq_solref=f(mj.eq_solref),
       eq_solimp=f(mj.eq_solimp),

@@ -110,3 +110,111 @@ def test_contact_trajectory(name):
                              err_msg=f'{name} qpos after 200 steps')
   np.testing.assert_allclose(d.qvel, mjd.qvel, atol=2e-3,
                              err_msg=f'{name} qvel after 200 steps')
+
+
+def _traj_check(xml, qpos0, qvel0, nsteps, atol, ctrl=None):
+  import mujoco
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = qpos0
+  mjd.qvel[:] = qvel0
+  if ctrl is not None:
+    mjd.ctrl[:] = ctrl
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(np.array(qpos0, dtype=np.float64)),
+                qvel=jnp.asarray(np.array(qvel0, dtype=np.float64)))
+  if ctrl is not None:
+    d = d.replace(ctrl=jnp.asarray(np.array(ctrl, dtype=np.float64)))
+  step = jax.jit(fwd.step)
+  for _ in range(nsteps):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=atol)
+  return m, d, mjm, mjd
+
+
+def test_box_box_sat_stack():
+  """Aligned box stacking settles identically to MuJoCo (SAT face
+  manifold; the round-1 corner approximation is gone)."""
+  xml = """
+  <mujoco><option timestep=\"0.005\"/>
+  <worldbody>
+    <geom type=\"plane\" size=\"1 1 0.1\"/>
+    <body pos=\"0 0 0.055\"><freejoint/>
+      <geom type=\"box\" size=\"0.05 0.05 0.05\" mass=\"0.5\"/></body>
+    <body pos=\"0.01 0.005 0.162\"><freejoint/>
+      <geom type=\"box\" size=\"0.04 0.04 0.05\" mass=\"0.3\"/></body>
+  </worldbody></mujoco>"""
+  q0 = [0, 0, 0.055, 1, 0, 0, 0, 0.01, 0.005, 0.162, 1, 0, 0, 0]
+  _traj_check(xml, q0, np.zeros(12), 80, 5e-3)
+
+
+def test_box_box_sat_rotated():
+  """A box dropped twisted 30 degrees onto another: SAT edge/face axes
+  engage; trajectory stays within a loose band of MuJoCo (contact-rich
+  chaotic amplification)."""
+  xml = """
+  <mujoco><option timestep=\"0.004\"/>
+  <worldbody>
+    <geom type=\"plane\" size=\"1 1 0.1\"/>
+    <body pos=\"0 0 0.05\"><freejoint/>
+      <geom type=\"box\" size=\"0.06 0.06 0.05\" mass=\"0.6\"/></body>
+    <body pos=\"0 0 0.17\"><freejoint/>
+      <geom type=\"box\" size=\"0.05 0.05 0.04\" mass=\"0.2\"/></body>
+  </worldbody></mujoco>"""
+  half = np.cos(np.pi / 12), np.sin(np.pi / 12)
+  q0 = [0, 0, 0.05, 1, 0, 0, 0,
+        0, 0, 0.17, half[0], 0, 0, half[1]]
+  _traj_check(xml, q0, np.zeros(12), 60, 2e-2)
+
+
+def test_plane_cylinder_exact():
+  """Upright and lying cylinders rest on the plane at the exact rim/disc
+  height (bounding-sphere approximation replaced)."""
+  xml = """
+  <mujoco><option timestep=\"0.005\"/>
+  <worldbody>
+    <geom type=\"plane\" size=\"1 1 0.1\"/>
+    <body pos=\"0 0 0.08\"><freejoint/>
+      <geom type=\"cylinder\" size=\"0.03 0.08\" mass=\"0.2\"/></body>
+    <body pos=\"0.3 0 0.03\"><freejoint/>
+      <geom type=\"cylinder\" size=\"0.03 0.08\" mass=\"0.2\"
+            euler=\"90 0 0\"/></body>
+  </worldbody></mujoco>"""
+  import mujoco
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  q0 = np.array(mjm.qpos0)
+  _traj_check(xml, q0, np.zeros(12), 100, 6e-3)
+
+
+def test_mesh_hull_contacts():
+  """A meshed tetrahedron resting on the plane and poked by a sphere:
+  hull-vertex/halfspace contacts keep it on the surface like MuJoCo."""
+  xml = """
+  <mujoco><option timestep=\"0.004\"/>
+  <asset>
+    <mesh name=\"tet\" vertex=\"0.05 0 0  -0.03 0.04 0  -0.03 -0.04 0
+                                0 0 0.07\"/>
+  </asset>
+  <worldbody>
+    <geom type=\"plane\" size=\"1 1 0.1\"/>
+    <body pos=\"0 0 0.05\"><freejoint/>
+      <geom type=\"mesh\" mesh=\"tet\" mass=\"0.1\"/></body>
+  </worldbody></mujoco>"""
+  import mujoco
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = put_model(mjm, dtype=jnp.float64)
+  assert m.geom_mesh and 1 in m.geom_mesh
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray(np.array(mjd.qpos, dtype=np.float64)))
+  step = jax.jit(fwd.step)
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  # settled on the plane at the same height as MuJoCo (the tet's base
+  # sits at body z=0, so the settled origin is ~0 with soft penetration)
+  z = float(d.qpos[2])
+  assert abs(z - float(mjd.qpos[2])) < 2e-3, (z, float(mjd.qpos[2]))
+  assert float(jnp.linalg.norm(d.qvel)) < 0.2
