@@ -22,34 +22,55 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
-    __file__))), 'native', 'mjpc_tpu_runtime.cc')
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, 'native', 'mjpc_tpu_runtime.cc')
+_AGENT_SRC = os.path.join(_REPO_ROOT, 'native', 'mjpc_tpu_agent.cc')
 
 _lib = None
 _lib_lock = threading.Lock()
+_agent_lib = None
+_agent_lib_lock = threading.Lock()
 
 
-def _build_library() -> str:
-  """Compile the runtime into a source-hash-keyed cache path.
+def _build_from_source(src: str, stem: str, extra_flags=()) -> str:
+  """Compile a native source into a content-hash-keyed cache path.
 
-  The cache key is the source content hash, so a stale or foreign .so can
-  never be picked up and edits always trigger a rebuild."""
-  with open(_SRC, 'rb') as f:
-    digest = hashlib.sha256(f.read()).hexdigest()[:16]
+  The cache key is the source content hash (+ flags), so a stale or
+  foreign .so can never be picked up and edits always trigger a rebuild."""
+  with open(src, 'rb') as f:
+    payload = f.read() + repr(tuple(extra_flags)).encode()
+  digest = hashlib.sha256(payload).hexdigest()[:16]
   cache_dir = os.path.join(
       os.environ.get('XDG_CACHE_HOME',
                      os.path.join(os.path.expanduser('~'), '.cache')),
       'mjpc_tpu')
   os.makedirs(cache_dir, exist_ok=True)
-  lib_path = os.path.join(cache_dir, f'libmjpc_tpu_runtime-{digest}.so')
+  lib_path = os.path.join(cache_dir, f'{stem}-{digest}.so')
   if os.path.exists(lib_path):
     return lib_path
   tmp_path = lib_path + f'.tmp{os.getpid()}'
-  cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
-         _SRC, '-o', tmp_path]
+  cmd = (['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread']
+         + list(extra_flags) + [src, '-o', tmp_path])
   subprocess.run(cmd, check=True, capture_output=True)
   os.replace(tmp_path, lib_path)
   return lib_path
+
+
+def _build_library() -> str:
+  return _build_from_source(_SRC, 'libmjpc_tpu_runtime')
+
+
+def _build_agent_library() -> str:
+  """Compile the embeddable agent runner (native/mjpc_tpu_agent.cc).
+
+  Built like a C extension (no libpython link): loaded into a running
+  Python process the symbols resolve against the interpreter; standalone
+  embedders link libpython themselves (python3-config --embed)."""
+  import sysconfig
+  include = sysconfig.get_paths()['include']
+  return _build_from_source(
+      _AGENT_SRC, 'libmjpc_tpu_agent',
+      [f'-I{include}', f'-DMTPU_REPO_ROOT="{_REPO_ROOT}"'])
 
 
 def load_library():
@@ -179,3 +200,115 @@ class NativeThreadPool:
     if getattr(self, '_h', None) and self._lib is not None:
       self._lib.mtpu_threadpool_destroy(self._h)
       self._h = None
+
+
+def load_agent_library():
+  """Load (building if needed) the embeddable agent runner; None if no
+  toolchain. Reference: the extern-C surface of mjpc/interface.h:44-49."""
+  global _agent_lib
+  with _agent_lib_lock:
+    if _agent_lib is not None:
+      return _agent_lib
+    try:
+      path = _build_agent_library()
+      lib = ctypes.CDLL(path)
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+      return None
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    lib.mtpu_agent_create.restype = ctypes.c_int
+    lib.mtpu_agent_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.mtpu_agent_destroy.restype = ctypes.c_int
+    for f in (lib.mtpu_agent_nu, lib.mtpu_agent_nq, lib.mtpu_agent_nv,
+              lib.mtpu_agent_num_weights):
+      f.restype = ctypes.c_int
+    lib.mtpu_agent_set_state.restype = ctypes.c_int
+    lib.mtpu_agent_set_state.argtypes = [c_double_p, ctypes.c_int,
+                                         c_double_p, ctypes.c_int,
+                                         ctypes.c_double]
+    lib.mtpu_agent_plan.restype = ctypes.c_int
+    lib.mtpu_agent_step.restype = ctypes.c_int
+    lib.mtpu_agent_start_plan_loop.restype = ctypes.c_int
+    lib.mtpu_agent_stop_plan_loop.restype = ctypes.c_int
+    lib.mtpu_agent_plan_count.restype = ctypes.c_long
+    lib.mtpu_agent_action.restype = ctypes.c_int
+    lib.mtpu_agent_action.argtypes = [ctypes.c_double, c_double_p,
+                                      ctypes.c_int]
+    lib.mtpu_agent_set_weights.restype = ctypes.c_int
+    lib.mtpu_agent_set_weights.argtypes = [c_double_p, ctypes.c_int]
+    lib.mtpu_last_error.restype = ctypes.c_char_p
+    _agent_lib = lib
+    return _agent_lib
+
+
+class NativeAgent:
+  """ctypes driver for the embeddable C agent runner (one global runner,
+  like the reference's interface.cc:66 `runner`). Primarily a test /
+  example harness — C embedders call the mtpu_agent_* surface directly."""
+
+  def __init__(self, task_name: str, num_samples: int = 0,
+               planner_id: int = -1):
+    self._lib = load_agent_library()
+    if self._lib is None:
+      raise RuntimeError('native agent runtime unavailable')
+    rc = self._lib.mtpu_agent_create(task_name.encode(), num_samples,
+                                     planner_id)
+    if rc != 0:
+      raise RuntimeError(self._lib.mtpu_last_error().decode())
+    self.nu = self._lib.mtpu_agent_nu()
+    self.nq = self._lib.mtpu_agent_nq()
+    self.nv = self._lib.mtpu_agent_nv()
+    self.num_weights = self._lib.mtpu_agent_num_weights()
+
+  def _check(self, rc: int):
+    if rc < 0:
+      raise RuntimeError(self._lib.mtpu_last_error().decode())
+
+  def set_state(self, qpos=None, qvel=None, time=-1.0):
+    qp = np.ascontiguousarray(qpos, dtype=np.float64) if qpos is not None \
+        else None
+    qv = np.ascontiguousarray(qvel, dtype=np.float64) if qvel is not None \
+        else None
+    self._check(self._lib.mtpu_agent_set_state(
+        _as_double_ptr(qp) if qp is not None else None,
+        qp.shape[0] if qp is not None else 0,
+        _as_double_ptr(qv) if qv is not None else None,
+        qv.shape[0] if qv is not None else 0, float(time)))
+
+  def plan(self):
+    self._check(self._lib.mtpu_agent_plan())
+
+  def step(self):
+    self._check(self._lib.mtpu_agent_step())
+
+  def start_plan_loop(self):
+    self._check(self._lib.mtpu_agent_start_plan_loop())
+
+  def stop_plan_loop(self):
+    self._check(self._lib.mtpu_agent_stop_plan_loop())
+
+  @property
+  def plan_count(self) -> int:
+    return int(self._lib.mtpu_agent_plan_count())
+
+  def action(self, time: float = -1.0) -> np.ndarray:
+    out = np.zeros(self.nu, dtype=np.float64)
+    n = self._lib.mtpu_agent_action(float(time), _as_double_ptr(out),
+                                    self.nu)
+    self._check(n)
+    return out
+
+  def set_weights(self, w) -> None:
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    self._check(self._lib.mtpu_agent_set_weights(_as_double_ptr(w),
+                                                 w.shape[0]))
+
+  def close(self):
+    if getattr(self, '_lib', None) is not None:
+      self._lib.mtpu_agent_destroy()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc):
+    self.close()

@@ -1,0 +1,551 @@
+"""Fused whole-iteration Pallas Newton solve for the contact problem.
+
+The primal-Newton constraint solve (physics/constraint.py) is, per rollout
+sample, a few iterations of: activity mask -> gradient -> Hessian
+H = M + J^T W J -> Cholesky solve -> exact line search along the step.
+Under `vmap` the XLA path emits hundreds of small HLO ops per iteration
+plus layout copies to feed the lane-batched Cholesky kernel — profiled on
+TPU (docs/PERF.md round 2), that dispatch/layout tax dominates: ~41 ms of
+the 4096x36 quadruped plan, 12 ms of it pure H-layout copies.
+
+This kernel runs the ENTIRE Newton loop for 128 samples in one Pallas
+program: J (n, nv, 128), M (nv, nv, 128) and all carries live in VMEM
+(quadruped: 737 KB, Shadow: 2.5 MB — fits), every scalar of the
+recurrence is a (128,)-lane vector, and the only HBM traffic is one read
+of the inputs and one write of the outputs. Layout is batch-minor
+(lanes = samples), the transpose of the vmapped batch-first layout, paid
+once per step instead of once per iteration.
+
+Differentiation: the planner derivative stack (planners/derivatives.py)
+jacfwd's the step, so the solve carries a `jax.custom_jvp` implementing
+the implicit-function tangent on the KKT system with the converged
+active set frozen — the exact derivative of the piecewise-smooth contact
+solution (what the reference's mjd_transitionFD finite-differences,
+model_derivatives.cc:45-165), and far cheaper than differentiating the
+unrolled loop.
+
+Reference for the solved problem: MuJoCo's primal Newton solver
+(the engine behind mj_step's constraint phase, used by the reference's
+rollouts at trajectory.cc:158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+LANES = 128
+MAX_NV = 32          # same small-matrix regime as ops/pallas_linalg.py
+MIN_BATCH = LANES    # below one lane tile the XLA path wins
+_DAMP = 1e-10        # Hessian damping (matches physics/constraint.py)
+_ALPHAS = (0.0, 1.0, 0.5, 0.25, 0.0625)
+
+
+def _on_tpu() -> bool:
+  try:
+    return jax.default_backend() == 'tpu' or any(
+        d.platform == 'tpu' for d in jax.devices())
+  except RuntimeError:
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: full Newton loop, batch in lanes.
+# ---------------------------------------------------------------------------
+
+
+def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
+  """One lane tile: refs layout (see newton_batched for operand order)."""
+  has_d = n > 0
+  has_s = ns > 0
+  i_ref = 0
+  qm = refs[i_ref][...]; i_ref += 1          # (nv, nv, L)
+  qs = refs[i_ref][...]; i_ref += 1          # (nv, L)
+  if has_d:
+    jmat = refs[i_ref][...]; i_ref += 1      # (n, nv, L)
+    aref = refs[i_ref][...]; i_ref += 1      # (n, L)
+    dvec = refs[i_ref][...]; i_ref += 1      # (n, L)
+    eqf = refs[i_ref][...] > 0.5; i_ref += 1  # (n, L) bool
+  if has_s:
+    s_aref = refs[i_ref][...]; i_ref += 1    # (ns, L)
+    s_dvec = refs[i_ref][...]; i_ref += 1    # (ns, L)
+  qacc_out = refs[i_ref]; i_ref += 1
+  jar_out = refs[i_ref] if has_d else None; i_ref += 1 if has_d else 0
+  jars_out = refs[i_ref] if has_s else None
+
+  dtype = qm.dtype
+  L = qm.shape[-1]
+  sgn = np.asarray(sign, dtype=dtype)  # kernel dtype: a float64 constant
+                                       # would promote the whole carry
+
+  def matvec_m(x):                     # (nv, L) -> (nv, L): qm @ x per lane
+    return jnp.stack([
+        sum(qm[i, k, :] * x[k, :] for k in range(nv)) for i in range(nv)])
+
+  def matvec_j(x):                     # (nv, L) -> (n, L)
+    return sum(jmat[:, k, :] * x[k, :][None, :] for k in range(nv))
+
+  def jt_vec(y):                       # (n, L) -> (nv, L): J^T y
+    return jnp.stack([jnp.sum(jmat[:, i, :] * y, axis=0)
+                      for i in range(nv)])
+
+  def gather_dof(x):                   # (nv, L) -> (ns, L): sign * x[dof]
+    return jnp.stack([x[dof[r], :] * sgn[r] for r in range(ns)])
+
+  def scatter_dof(y):                  # (ns, L) -> (nv, L): add sign*y at dof
+    out = [jnp.zeros((L,), dtype=dtype) for _ in range(nv)]
+    for r in range(ns):
+      out[dof[r]] = out[dof[r]] + sgn[r] * y[r, :]
+    return jnp.stack(out)
+
+  def chol_solve(h, g):
+    """h: list-of-lists of (L,) (lower triangle filled), g: (nv, L)."""
+    eps = 1e-30
+    col = [[None] * nv for _ in range(nv)]
+    inv_diag = [None] * nv
+    for j in range(nv):
+      s = h[j][j]
+      for k in range(j):
+        s = s - col[j][k] * col[j][k]
+      ljj = jnp.sqrt(jnp.maximum(s, eps))
+      col[j][j] = ljj
+      inv = 1.0 / ljj
+      inv_diag[j] = inv
+      for i in range(j + 1, nv):
+        s = h[i][j]
+        for k in range(j):
+          s = s - col[i][k] * col[j][k]
+        col[i][j] = s * inv
+    y = [None] * nv
+    for i in range(nv):
+      s = g[i, :]
+      for k in range(i):
+        s = s - col[i][k] * y[k]
+      y[i] = s * inv_diag[i]
+    x = [None] * nv
+    for i in reversed(range(nv)):
+      s = y[i]
+      for k in range(i + 1, nv):
+        s = s - col[k][i] * x[k]
+      x[i] = s * inv_diag[i]
+    return jnp.stack(x)
+
+  # zero-size blocks are omitted from the carry entirely (Mosaic does not
+  # like 0-sized values); pack/unpack keeps the body readable
+  def pack(qacc, jar_d, jar_s, it, done, prev_exact):
+    out = [qacc]
+    if has_d:
+      out.append(jar_d)
+    if has_s:
+      out.append(jar_s)
+    return tuple(out) + (it, done, prev_exact)
+
+  def unpack(carry):
+    k = 1
+    jar_d = jar_s = None
+    if has_d:
+      jar_d = carry[k]
+      k += 1
+    if has_s:
+      jar_s = carry[k]
+      k += 1
+    return carry[0], jar_d, jar_s, carry[k], carry[k + 1], carry[k + 2]
+
+  jar_d0 = matvec_j(qs) - aref if has_d else None
+  jar_s0 = gather_dof(qs) - s_aref if has_s else None
+  false_l = jnp.zeros((L,), dtype=bool)
+
+  def cond(carry):
+    _, _, _, it, done, _ = unpack(carry)
+    return jnp.logical_and(it < cap, jnp.logical_not(jnp.all(done)))
+
+  def body(carry):
+    qacc, jar_d, jar_s, it, done, prev_exact = unpack(carry)
+    e = qacc - qs
+    me = matvec_m(e)
+    g = me
+    h = [[qm[i, j, :] + (_DAMP if i == j else 0.0) for j in range(nv)]
+         for i in range(nv)]
+    if has_d:
+      active_d = jnp.logical_or(jar_d < 0, eqf)
+      w_d = jnp.where(active_d, dvec, 0.0)
+      g = g + jt_vec(w_d * jar_d)
+      for i in range(nv):
+        for j in range(i + 1):
+          hij = jnp.sum(w_d * jmat[:, i, :] * jmat[:, j, :], axis=0)
+          h[i][j] = h[i][j] + hij
+          if i != j:
+            h[j][i] = h[j][i] + hij
+    if has_s:
+      active_s = jar_s < 0
+      w_s = jnp.where(active_s, s_dvec, 0.0)
+      g = g + scatter_dof(w_s * jar_s)
+      for r in range(ns):
+        h[dof[r]][dof[r]] = h[dof[r]][dof[r]] + w_s[r, :]
+
+    step = chol_solve(h, g)
+
+    js_d = matvec_j(step) if has_d else None
+    js_s = gather_dof(step) if has_s else None
+    sme = jnp.sum(step * me, axis=0)
+    sms = jnp.sum(step * matvec_m(step), axis=0)
+    eme = jnp.sum(e * me, axis=0)
+
+    best_cost = None
+    best_alpha = None
+    best_is_full = None
+    for a in _ALPHAS:
+      c = 0.5 * eme - a * sme + 0.5 * a * a * sms
+      if has_d:
+        jc = jar_d - a * js_d
+        pc = jnp.where(jnp.logical_or(jc < 0, eqf), dvec, 0.0)
+        c = c + 0.5 * jnp.sum(pc * jc * jc, axis=0)
+      if has_s:
+        jc = jar_s - a * js_s
+        pc = jnp.where(jc < 0, s_dvec, 0.0)
+        c = c + 0.5 * jnp.sum(pc * jc * jc, axis=0)
+      if best_cost is None:
+        best_cost, best_alpha = c, jnp.full((L,), a, dtype=dtype)
+        best_is_full = jnp.zeros((L,), dtype=bool)
+      else:
+        better = c < best_cost
+        best_cost = jnp.where(better, c, best_cost)
+        best_alpha = jnp.where(better, a, best_alpha)
+        best_is_full = jnp.where(better, a == 1.0, best_is_full)
+
+    alpha = best_alpha
+    qacc_new = qacc - alpha[None, :] * step
+    jar_d_new = jar_d - alpha[None, :] * js_d if has_d else None
+    jar_s_new = jar_s - alpha[None, :] * js_s if has_s else None
+    stable = jnp.ones((L,), dtype=bool)
+    if has_d:
+      stable = jnp.logical_and(
+          stable,
+          jnp.all(jnp.logical_or(jar_d_new < 0, eqf) == active_d, axis=0))
+    if has_s:
+      stable = jnp.logical_and(
+          stable, jnp.all((jar_s_new < 0) == active_s, axis=0))
+    exact = jnp.logical_and(best_is_full, stable)
+    step_norm = jnp.sqrt(jnp.sum(step * step, axis=0))
+    qn = jnp.sqrt(jnp.sum(qacc_new * qacc_new, axis=0))
+    small = step_norm <= tol * (1.0 + qn)
+    newly_done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
+    # freeze lanes that were already done (matches vmapped while_loop
+    # semantics: body updates are masked per sample)
+    keep = done[None, :]
+    qacc = jnp.where(keep, qacc, qacc_new)
+    jar_d = jnp.where(keep, jar_d, jar_d_new) if has_d else None
+    jar_s = jnp.where(keep, jar_s, jar_s_new) if has_s else None
+    prev_exact = jnp.where(done, prev_exact, exact)
+    done = jnp.logical_or(done, newly_done)
+    return pack(qacc, jar_d, jar_s, it + 1, done, prev_exact)
+
+  init = pack(qs, jar_d0, jar_s0, jnp.asarray(0, dtype=jnp.int32),
+              false_l, false_l)
+  qacc, jar_d, jar_s, _, _, _ = unpack(
+      jax.lax.while_loop(cond, body, init))
+  qacc_out[...] = qacc
+  if has_d:
+    jar_out[...] = jar_d
+  if has_s:
+    jars_out[...] = jar_s
+
+
+def _lane_pad(x, pad, fill=0.0):
+  if pad == 0:
+    return x
+  widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+  return jnp.pad(x, widths, constant_values=fill)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret'))
+def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
+                   sign, cap, tol, interpret=False):
+  """Batch-first Newton solve via the fused kernel.
+
+  qm (B, nv, nv), qs (B, nv), j (B, n, nv), aref/dvec/eqf (B, n),
+  s_aref/s_dvec (B, ns) -> (qacc (B, nv), jar_d (B, n), jar_s (B, ns)).
+  Zero-size n / ns are legal and skip those operands entirely.
+  """
+  bsz, nv = qs.shape
+  n = j.shape[1]
+  ns = s_aref.shape[1]
+  has_d = n > 0
+  has_s = ns > 0
+  pad = (-bsz) % LANES
+  if pad:
+    # identity systems: qm=I, everything else zero -> step 0, done fast
+    eye = jnp.broadcast_to(jnp.eye(nv, dtype=qm.dtype), (pad, nv, nv))
+    qm = jnp.concatenate([qm, eye], axis=0)
+    qs = _lane_pad(qs, pad)
+    j, aref, dvec, eqf = (_lane_pad(a, pad) for a in (j, aref, dvec, eqf))
+    s_aref, s_dvec = _lane_pad(s_aref, pad), _lane_pad(s_dvec, pad)
+  bp = qs.shape[0]
+
+  operands = [jnp.transpose(qm, (1, 2, 0)), jnp.transpose(qs, (1, 0))]
+  in_specs = [pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i)),
+              pl.BlockSpec((nv, LANES), lambda i: (0, i))]
+  if has_d:
+    operands += [jnp.transpose(j, (1, 2, 0)), jnp.transpose(aref, (1, 0)),
+                 jnp.transpose(dvec, (1, 0)),
+                 jnp.transpose(eqf.astype(qm.dtype), (1, 0))]
+    in_specs += [pl.BlockSpec((n, nv, LANES), lambda i: (0, 0, i)),
+                 pl.BlockSpec((n, LANES), lambda i: (0, i)),
+                 pl.BlockSpec((n, LANES), lambda i: (0, i)),
+                 pl.BlockSpec((n, LANES), lambda i: (0, i))]
+  if has_s:
+    operands += [jnp.transpose(s_aref, (1, 0)),
+                 jnp.transpose(s_dvec, (1, 0))]
+    in_specs += [pl.BlockSpec((ns, LANES), lambda i: (0, i)),
+                 pl.BlockSpec((ns, LANES), lambda i: (0, i))]
+
+  out_shape = [jax.ShapeDtypeStruct((nv, bp), qm.dtype)]
+  out_specs = [pl.BlockSpec((nv, LANES), lambda i: (0, i))]
+  if has_d:
+    out_shape.append(jax.ShapeDtypeStruct((n, bp), qm.dtype))
+    out_specs.append(pl.BlockSpec((n, LANES), lambda i: (0, i)))
+  if has_s:
+    out_shape.append(jax.ShapeDtypeStruct((ns, bp), qm.dtype))
+    out_specs.append(pl.BlockSpec((ns, LANES), lambda i: (0, i)))
+
+  kernel = functools.partial(_newton_kernel, nv, n, ns, dof, sign, cap,
+                             tol)
+  outs = pl.pallas_call(
+      lambda *refs: kernel(refs),
+      out_shape=out_shape,
+      grid=(bp // LANES,),
+      in_specs=in_specs,
+      out_specs=out_specs,
+      interpret=interpret,
+  )(*operands)
+
+  qacc = jnp.transpose(outs[0], (1, 0))[:bsz]
+  k = 1
+  if has_d:
+    jar_d = jnp.transpose(outs[k], (1, 0))[:bsz]
+    k += 1
+  else:
+    jar_d = jnp.zeros((bsz, 0), dtype=qm.dtype)
+  if has_s:
+    jar_s = jnp.transpose(outs[k], (1, 0))[:bsz]
+  else:
+    jar_s = jnp.zeros((bsz, 0), dtype=qm.dtype)
+  return qacc, jar_d, jar_s
+
+
+# ---------------------------------------------------------------------------
+# Reference per-sample path (the XLA implementation the kernel replaces);
+# also the CPU / unbatched / f64 fallback.
+# ---------------------------------------------------------------------------
+
+
+def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
+                      sign, cap, tol):
+  """Single-sample Newton solve (jar-carrying, exact line search)."""
+  from mujoco_mpc_tpu.ops import pallas_linalg
+  from mujoco_mpc_tpu.utils import tpu_math as _tm
+
+  nv = qs.shape[0]
+  n = j.shape[0]
+  ns = s_aref.shape[0]
+  has_d = n > 0
+  has_s = ns > 0
+  dtype = qs.dtype
+  eq = eqf > 0.5
+  sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
+  dof_np = np.asarray(dof, dtype=np.int32)
+
+  def cond(carry):
+    return jnp.logical_and(carry[3] < cap, jnp.logical_not(carry[4]))
+
+  def body(carry):
+    qacc, jar_d, jar_s, it, _, prev_exact = carry
+    e = qacc - qs
+    me = qm @ e
+    g = me
+    h = qm + _DAMP * jnp.eye(nv, dtype=qm.dtype)
+    if has_d:
+      active_d = jnp.logical_or(jar_d < 0, eq)
+      w_d = jnp.where(active_d, dvec, 0.0)
+      g = g + j.T @ (w_d * jar_d)
+      h = h + (j.T * w_d) @ j
+    if has_s:
+      active_s = jar_s < 0
+      w_s = jnp.where(active_s, s_dvec, 0.0)
+      g = g.at[dof_np].add(sgn * (w_s * jar_s))
+      h = h.at[dof_np, dof_np].add(w_s)
+    step = jax.lax.custom_linear_solve(
+        lambda v: h @ v, g,
+        solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
+        symmetric=True)
+    js_d = j @ step if has_d else jar_d
+    js_s = sgn * step[dof_np] if has_s else jar_s
+    sme = step @ me
+    sms = step @ (qm @ step)
+    eme = e @ me
+    alphas = jnp.asarray(_ALPHAS, dtype=dtype)
+    pen = 0.0
+    if has_d:
+      jc = jar_d[None, :] - alphas[:, None] * js_d[None, :]
+      pc = jnp.where(jnp.logical_or(jc < 0, eq[None, :]), dvec[None, :],
+                     0.0)
+      pen = pen + 0.5 * jnp.sum(pc * jc * jc, axis=-1)
+    if has_s:
+      jc = jar_s[None, :] - alphas[:, None] * js_s[None, :]
+      pc = jnp.where(jc < 0, s_dvec[None, :], 0.0)
+      pen = pen + 0.5 * jnp.sum(pc * jc * jc, axis=-1)
+    costs = 0.5 * eme - alphas * sme + 0.5 * alphas * alphas * sms + pen
+    best = jnp.argmin(costs)
+    alpha = alphas[best]
+    qacc_new = qacc - alpha * step
+    jar_d_new = jar_d - alpha * js_d if has_d else jar_d
+    jar_s_new = jar_s - alpha * js_s if has_s else jar_s
+    stable = jnp.asarray(True)
+    if has_d:
+      stable = jnp.logical_and(
+          stable, jnp.all(jnp.logical_or(jar_d_new < 0, eq) == active_d))
+    if has_s:
+      stable = jnp.logical_and(stable,
+                               jnp.all((jar_s_new < 0) == active_s))
+    exact = jnp.logical_and(best == 1, stable)
+    small = (jnp.linalg.norm(step)
+             <= tol * (1.0 + jnp.linalg.norm(qacc_new)))
+    done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
+    return (qacc_new, jar_d_new, jar_s_new, it + 1, done, exact)
+
+  jar_d0 = j @ qs - aref if has_d else jnp.zeros(0, dtype=dtype)
+  jar_s0 = (sgn * qs[dof_np] - s_aref if has_s
+            else jnp.zeros(0, dtype=dtype))
+  jar_d0 = _tm.match_vma(jar_d0, qs)
+  jar_s0 = _tm.match_vma(jar_s0, qs)
+  false0 = _tm.match_vma(jnp.asarray(False), qs)
+  init = (qs, jar_d0, jar_s0, jnp.asarray(0, dtype=jnp.int32), false0,
+          false0)
+  qacc, jar_d, jar_s, _, _, _ = jax.lax.while_loop(cond, body, init)
+  return qacc, jar_d, jar_s
+
+
+# ---------------------------------------------------------------------------
+# Dispatch seam: custom_vmap routes batched TPU calls to the kernel;
+# custom_jvp supplies the implicit-function tangent.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def make_newton(dof, sign, cap, tol):
+  """Newton solve specialized to static (dof, sign, cap, tol).
+
+  Returns fn(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec) ->
+  (qacc, jar_d, jar_s), per-sample signature; vmap dispatches the fused
+  lane-batched kernel on TPU, jacfwd/jvp uses the frozen-active-set
+  implicit tangent.
+  """
+
+  @jax.custom_batching.custom_vmap
+  def newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec):
+    return _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
+                             dof=dof, sign=sign, cap=cap, tol=tol)
+
+  @newton_impl.def_vmap
+  def _newton_vmap(axis_size, in_batched, qm, qs, j, aref, dvec, eqf,
+                   s_aref, s_dvec):
+    ref = functools.partial(_newton_reference, dof=dof, sign=sign,
+                            cap=cap, tol=tol)
+    # unbatched operands (broadcast constants, e.g. an absent dense block
+    # or a shared mass matrix) are materialized so the kernel still fires
+    args = tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip((qm, qs, j, aref, dvec, eqf, s_aref, s_dvec),
+                        in_batched))
+    qs_f = args[1]
+    nv = qs_f.shape[-1]
+    usable = (qs_f.ndim == 2 and qs_f.shape[0] >= MIN_BATCH
+              and nv <= MAX_NV and qs_f.dtype == jnp.float32 and _on_tpu())
+    if usable:
+      out = newton_batched(*args, dof=dof, sign=sign, cap=cap, tol=tol)
+    else:
+      out = jax.vmap(ref)(*args)
+    return out, (True, True, True)
+
+  @jax.custom_jvp
+  def newton(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec):
+    return newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec)
+
+  @newton.defjvp
+  def _newton_jvp(primals, tangents):
+    """Implicit-function tangent with the converged active set frozen.
+
+    KKT residual g(qacc; th) = qm (qacc-qs) + J^T (w * (J qacc - aref))
+    + scatter(sign * w_s * jar_s) = 0, so dqacc = -H^{-1} (dg/dth dth)
+    with H the Newton Hessian at the solution. This is the exact
+    derivative of the contact solution almost everywhere (active set
+    locally constant), the quantity the reference approximates by finite
+    differences (mjd_transitionFD, model_derivatives.cc:45-165).
+    """
+    from mujoco_mpc_tpu.ops import pallas_linalg
+
+    qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = primals
+    dqm, dqs, dj, daref, ddvec, _, ds_aref, ds_dvec = tangents
+    qacc, jar_d, jar_s = newton_impl(qm, qs, j, aref, dvec, eqf, s_aref,
+                                     s_dvec)
+    nv = qs.shape[-1]
+    n = j.shape[-2]
+    ns = s_aref.shape[-1]
+    dtype = qs.dtype
+    sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
+    dof_np = np.asarray(dof, dtype=np.int32)
+
+    zero = lambda x: jnp.zeros_like(x)
+    dqm = zero(qm) if isinstance(dqm, jax.custom_derivatives.SymbolicZero) \
+        else dqm
+    dqs = zero(qs) if isinstance(dqs, jax.custom_derivatives.SymbolicZero) \
+        else dqs
+    dj = zero(j) if isinstance(dj, jax.custom_derivatives.SymbolicZero) \
+        else dj
+    daref = zero(aref) if isinstance(
+        daref, jax.custom_derivatives.SymbolicZero) else daref
+    ddvec = zero(dvec) if isinstance(
+        ddvec, jax.custom_derivatives.SymbolicZero) else ddvec
+    ds_aref = zero(s_aref) if isinstance(
+        ds_aref, jax.custom_derivatives.SymbolicZero) else ds_aref
+    ds_dvec = zero(s_dvec) if isinstance(
+        ds_dvec, jax.custom_derivatives.SymbolicZero) else ds_dvec
+
+    e = qacc - qs
+    h = qm + _DAMP * jnp.eye(nv, dtype=dtype)
+    rhs = dqm @ e - qm @ dqs
+    if n > 0:
+      active_d = jnp.logical_or(jar_d < 0, eqf > 0.5)
+      w_d = jnp.where(active_d, dvec, 0.0)
+      dw_d = jnp.where(active_d, ddvec, 0.0)
+      h = h + (j.T * w_d) @ j
+      rhs = rhs + (dj.T @ (w_d * jar_d) + j.T @ (dw_d * jar_d)
+                   + j.T @ (w_d * (dj @ qacc - daref)))
+    if ns > 0:
+      active_s = jar_s < 0
+      w_s = jnp.where(active_s, s_dvec, 0.0)
+      dw_s = jnp.where(active_s, ds_dvec, 0.0)
+      h = h.at[dof_np, dof_np].add(w_s)
+      rhs = rhs.at[dof_np].add(
+          sgn * (dw_s * jar_s + w_s * (-ds_aref)))
+    dqacc = -jax.lax.custom_linear_solve(
+        lambda v: h @ v, rhs,
+        solve=lambda _mv, b: pallas_linalg.solve_spd(h, b),
+        symmetric=True)
+    if n > 0:
+      djar_d = dj @ qacc + j @ dqacc - daref
+    else:
+      djar_d = jnp.zeros_like(jar_d)
+    if ns > 0:
+      djar_s = sgn * dqacc[dof_np] - ds_aref
+    else:
+      djar_s = jnp.zeros_like(jar_s)
+    return (qacc, jar_d, jar_s), (dqacc, djar_d, djar_s)
+
+  return newton

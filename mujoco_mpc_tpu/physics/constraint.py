@@ -28,10 +28,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_mpc_tpu.ops import linalg
-from mujoco_mpc_tpu.ops import pallas_linalg
 from mujoco_mpc_tpu.physics.model import Data, JointType, Model
 
 _MIN_IMP, _MAX_IMP = 0.0001, 0.9999
+
+
+class ScalarRows(NamedTuple):
+  """One-hot constraint rows (joint limits): J row = sign * e_dof.
+
+  Kept OUT of the dense row matrix so the solver handles them with
+  gathers/scatters instead of matmuls — profiled on TPU, broadcasting the
+  static limit Jacobian into the per-step row concat cost ~13 ms of the
+  4096x36 quadruped plan. dof/sign are host numpy constants."""
+  dof: np.ndarray    # (R,) int, static
+  sign: np.ndarray   # (R,) float, static
+  pos: jax.Array     # (R,)
+  margin: jax.Array  # (R,)
+  aref: jax.Array    # (R,)
+  d: jax.Array       # (R,)
+  active: jax.Array  # (R,) bool
 
 
 class Rows(NamedTuple):
@@ -74,6 +89,34 @@ def kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array):
   direct = jnp.logical_and(solref[..., 0] <= 0, solref[..., 1] <= 0)
   return (jnp.where(direct, k_dir, k_std),
           jnp.where(direct, b_dir, b_std), imp)
+
+
+def _limit_rows_scalar(m: Model, d: Data) -> ScalarRows | None:
+  """Joint-limit rows in one-hot form (see ScalarRows)."""
+  from mujoco_mpc_tpu.physics import structure
+
+  ids, qadr, dofadr = structure.scalar_joint_limits(
+      m.jnt_limited, m.jnt_type, m.jnt_qposadr, m.jnt_dofadr)
+  nl = len(ids)
+  if nl == 0:
+    return None
+  q = d.qpos[qadr]
+  v = d.qvel[dofadr]
+  rng = m.jnt_range[ids]
+  margin = m.jnt_margin[ids]
+  pos = (jnp.concatenate([q - rng[:, 0], rng[:, 1] - q])
+         - jnp.tile(margin, 2))
+  vv = jnp.concatenate([v, -v])
+  solref = jnp.tile(m.jnt_solref[ids], (2, 1))
+  solimp = jnp.tile(m.jnt_solimp[ids], (2, 1))
+  k, b, imp = kbi(solref, solimp, pos)
+  aref = -b * vv - k * imp * pos
+  iw = jnp.tile(m.dof_invweight0[dofadr], 2)
+  dd = imp / (1.0 - imp) / jnp.maximum(iw, 1e-12)
+  dof2 = np.concatenate([dofadr, dofadr])
+  sign = np.concatenate([np.ones(nl), -np.ones(nl)])
+  return ScalarRows(dof2, sign, pos, jnp.tile(margin, 2), aref, dd,
+                    pos < 0.0)
 
 
 def _limit_rows(m: Model, d: Data) -> Rows | None:
@@ -368,36 +411,29 @@ def _equality_rows(m: Model, d: Data) -> Rows | None:
               jnp.ones(n, dtype=bool), jnp.ones(n, dtype=bool))
 
 
-def _contact_rows(m: Model, d: Data) -> Rows | None:
-  """Contact constraint rows from the static candidate pair list.
+class ContactBlock(NamedTuple):
+  """One condim group of contact points: constraint rows + the metadata
+  needed to decode pyramidal facet forces back to contact wrenches."""
+  rows: Rows
+  condim: int
+  nrep: int           # facet rows per point
+  pos: jax.Array      # (P, 3) world contact points
+  frame: jax.Array    # (P, 3, 3) rows (normal, t1, t2); normal g1 -> g2
+  mu: jax.Array       # (P, 3) (sliding, torsional, rolling)
+  b1: np.ndarray      # (P,) static body ids
+  b2: np.ndarray
 
-  Pyramidal friction (MuJoCo default cone): a condim-c contact contributes
-  2*(c-1) one-sided facet rows J = Jn ± mu_i * J_i over the friction
-  dimensions (tangents t1,t2; torsion about the normal for condim>=4;
-  rolling about t1,t2 for condim 6), with diagApprox
-  invweight * 2*mu1^2*(1+mu1^2) (mu1 = sliding friction); frictionless
-  (condim 1) contributes the normal row with diagApprox = invweight.
-  Validated numerically against mjd.efc_* (tests/test_contacts.py).
 
-  Assembly is point-stacked: per-point normal/tangent Jacobians are
-  stacked into (P, nv) tensors FIRST and the facet rows are expanded with
-  broadcast ops. Building rows one-by-one leaves ~rows separate
-  (batch, 1, nv) temporaries alive inside the Newton while_loop, each
-  padded to (8, 128) tiles — a 146x memory expansion that OOMed the
-  Shadow-hand planner at 8192 samples.
-  """
-  from mujoco_mpc_tpu.physics import collision, structure
+def _contact_groups(m: Model, d: Data):
+  """Stack narrowphase output per condim (static structure).
 
-  if not m.collision_pairs:
-    return None
-  dtype = d.qpos.dtype
+  The per-pair narrowphase stays unrolled (each pair's geometry differs)
+  but EVERY downstream quantity — tangent frames, K/B/impedance, point
+  Jacobians — is stacked to (P, ...) first and computed batched: the hot
+  loop is dispatch-bound on TPU, and per-point Jacobian assembly was the
+  largest op-count contributor in contact-rich models."""
+  from mujoco_mpc_tpu.physics import collision
 
-  # per-point gathers, grouped by condim (static structure). The per-pair
-  # narrowphase stays unrolled (each pair's geometry differs) but EVERY
-  # downstream quantity — tangent frames, K/B/impedance, point Jacobians —
-  # is stacked to (P, ...) first and computed batched: the hot loop is
-  # dispatch-bound on TPU, and per-point Jacobian assembly was the largest
-  # op-count contributor in contact-rich models.
   groups = {1: None, 3: None, 4: None, 6: None}
 
   def _group(c):
@@ -428,6 +464,33 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
       g['invw'].append(params.invweight)
       g['b1'].append(b1)
       g['b2'].append(b2)
+  return groups
+
+
+def contact_blocks(m: Model, d: Data):
+  """Contact constraint rows, one ContactBlock per condim group.
+
+  Pyramidal friction (MuJoCo default cone): a condim-c contact contributes
+  2*(c-1) one-sided facet rows J = Jn ± mu_i * J_i over the friction
+  dimensions (tangents t1,t2; torsion about the normal for condim>=4;
+  rolling about t1,t2 for condim 6), with diagApprox
+  invweight * 2*mu1^2*(1+mu1^2) (mu1 = sliding friction); frictionless
+  (condim 1) contributes the normal row with diagApprox = invweight.
+  Validated numerically against mjd.efc_* (tests/test_contacts.py).
+
+  Assembly is point-stacked: per-point normal/tangent Jacobians are
+  stacked into (P, nv) tensors FIRST and the facet rows are expanded with
+  broadcast ops. Building rows one-by-one leaves ~rows separate
+  (batch, 1, nv) temporaries alive inside the Newton while_loop, each
+  padded to (8, 128) tiles — a 146x memory expansion that OOMed the
+  Shadow-hand planner at 8192 samples.
+  """
+  from mujoco_mpc_tpu.physics import collision, structure
+
+  if not m.collision_pairs:
+    return []
+  dtype = d.qpos.dtype
+  groups = _contact_groups(m, d)
 
   a_body = np.asarray(structure.body_ancestor_dof_mask(
       m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
@@ -468,6 +531,7 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
     jn = jnp.einsum('pns,ps->pn', jp, normal)        # (P, nv)
 
     if condim == 1:
+      t1, t2 = collision._make_frames(normal)
       jmat, nrep = jn, 1
     else:
       t1, t2 = collision._make_frames(normal)
@@ -492,12 +556,78 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
 
     posr = jnp.tile(pos, nrep)
     vel = jmat @ d.qvel
-    blocks.append(Rows(
+    rows = Rows(
         jmat, posr, jnp.tile(margin, nrep),
         -jnp.tile(b, nrep) * vel - jnp.tile(k * imp, nrep) * posr,
         jnp.tile(imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12), nrep),
-        posr < 0.0, jnp.zeros_like(posr, dtype=bool)))
-  return _concat_rows(blocks)
+        posr < 0.0, jnp.zeros_like(posr, dtype=bool))
+    frame = jnp.stack([normal, t1, t2], axis=1)      # (P, 3, 3)
+    blocks.append(ContactBlock(rows=rows, condim=condim, nrep=nrep,
+                               pos=pos3, frame=frame, mu=mu,
+                               b1=b1_arr, b2=b2_arr))
+  return blocks
+
+
+def _contact_rows(m: Model, d: Data) -> Rows | None:
+  """Contact rows as one dense block (see contact_blocks)."""
+  return _concat_rows([b.rows for b in contact_blocks(m, d)])
+
+
+class ContactForces(NamedTuple):
+  """Decoded per-point contact wrenches (analog of mj_contactForce).
+
+  force6 columns: (normal, t1, t2) forces then (normal, t1, t2) torques,
+  all in the contact frame, acting ON body b2 (reaction on b1). The
+  normal points from geom1 to geom2."""
+  pos: jax.Array      # (P, 3)
+  frame: jax.Array    # (P, 3, 3) rows (normal, t1, t2)
+  force6: jax.Array   # (P, 6)
+  b1: np.ndarray      # (P,) static
+  b2: np.ndarray
+
+
+def contact_forces(m: Model, d: Data) -> ContactForces | None:
+  """Recover contact forces from the converged qacc.
+
+  The primal Newton solution satisfies f_row = -d_row * jar_row for active
+  rows (physics/constraint.py solve); pyramidal facet forces fold back to
+  the contact wrench: fn = sum of facet forces, f_tangent_i =
+  mu_i * (f_i+ - f_i-) (the inverse of the facet expansion, the same
+  decoding mj_contactForce applies to pyramidal cones). Evaluated on
+  demand by force/torque/touch sensors (physics/sensors.py) — the rollout
+  hot loop never pays for it."""
+  blocks = contact_blocks(m, d)
+  if not blocks:
+    return None
+  pos_l, frame_l, f6_l, b1_l, b2_l = [], [], [], [], []
+  for blk in blocks:
+    rows = blk.rows
+    p = blk.pos.shape[0]
+    jar = rows.j @ d.qacc - rows.aref
+    dvec = jnp.where(rows.active, rows.d, 0.0)
+    f = jnp.where(jar < 0, -dvec * jar, 0.0).reshape(blk.nrep, p)
+    zero = jnp.zeros_like(f[0])
+    if blk.condim == 1:
+      fn, ft1, ft2, trn, trt1, trt2 = f[0], zero, zero, zero, zero, zero
+    else:
+      fn = jnp.sum(f, axis=0)
+      ft1 = blk.mu[:, 0] * (f[0] - f[1])
+      ft2 = blk.mu[:, 0] * (f[2] - f[3])
+      trn = (blk.mu[:, 1] * (f[4] - f[5]) if blk.condim >= 4 else zero)
+      if blk.condim == 6:
+        trt1 = blk.mu[:, 2] * (f[6] - f[7])
+        trt2 = blk.mu[:, 2] * (f[8] - f[9])
+      else:
+        trt1, trt2 = zero, zero
+    pos_l.append(blk.pos)
+    frame_l.append(blk.frame)
+    f6_l.append(jnp.stack([fn, ft1, ft2, trn, trt1, trt2], axis=1))
+    b1_l.append(blk.b1)
+    b2_l.append(blk.b2)
+  return ContactForces(
+      pos=jnp.concatenate(pos_l), frame=jnp.concatenate(frame_l),
+      force6=jnp.concatenate(f6_l), b1=np.concatenate(b1_l),
+      b2=np.concatenate(b2_l))
 
 
 def _concat_rows(blocks) -> Rows | None:
@@ -509,102 +639,85 @@ def _concat_rows(blocks) -> Rows | None:
 
 def make_rows(m: Model, d: Data):
   """Assemble all constraint rows (equality + joint/tendon limits +
-  contacts), in MuJoCo's efc ordering."""
+  contacts), in MuJoCo's efc ordering, as one dense block (tests /
+  introspection; the hot path uses make_rows_split)."""
   return _concat_rows([_equality_rows(m, d), _limit_rows(m, d),
                        _tendon_limit_rows(m, d), _contact_rows(m, d)])
 
 
-def solve(m: Model, d: Data, rows: Rows | None, max_iterations: int = None,
+def make_rows_split(m: Model, d: Data):
+  """(dense Rows | None, ScalarRows | None): joint limits kept one-hot
+  so the Newton solve never materializes their J block."""
+  dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
+                        _contact_rows(m, d)])
+  return dense, _limit_rows_scalar(m, d)
+
+
+def solve(m: Model, d: Data, rows: Rows | None,
+          scalar: ScalarRows | None = None, max_iterations: int = None,
           tolerance: float = None) -> Data:
   """Primal Newton solve for qacc given constraint rows.
 
-  Converges in a few iterations (piecewise quadratic cost, exact Newton)
-  and exits on a scaled gradient test. Under vmap the while_loop runs until
-  the WORST sample converges, so batched planning models bound the cost
-  with a small static cap (Model.opt.iterations, from the MJCF
-  <option iterations/>); estimation/golden paths keep the MuJoCo default
-  of 100 and exit early. All linear algebra uses the unrolled small-matrix
-  kernels (ops/linalg.py).
+  Converges in a few iterations (piecewise quadratic cost, exact Newton).
+  Under vmap the while_loop runs until the WORST sample converges, so
+  batched planning models bound the cost with a small static cap
+  (Model.opt.iterations, from the MJCF <option iterations/>);
+  estimation/golden paths keep the MuJoCo default of 100 and exit early.
+
+  The solve itself lives behind the ops/pallas_newton.py seam: per-sample
+  calls (golden tests, estimators) run the jar-carrying XLA while_loop;
+  vmapped f32 TPU planning dispatches the fused whole-iteration Pallas
+  kernel; jacfwd (derivative planners, EKF) uses the frozen-active-set
+  implicit tangent. One-hot rows (joint limits, `scalar`) contribute
+  through gathers/scatters, never a dense J block.
   """
+  from mujoco_mpc_tpu.ops import pallas_newton
+  from mujoco_mpc_tpu.utils import tpu_math as _tm
+
   qacc_smooth = d.qacc
   if max_iterations is None:
     max_iterations = m.opt.iterations
   if tolerance is None:
     tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
-  if rows is None:
-    from mujoco_mpc_tpu.utils import tpu_math as _tm0
-    return d.replace(qfrc_constraint=_tm0.match_vma(
+  if rows is None and scalar is None:
+    return d.replace(qfrc_constraint=_tm.match_vma(
         jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
 
+  dtype = d.qpos.dtype
   qm = d.qM
-  j_mat = rows.j                       # (n, nv)
-  dvec = jnp.where(rows.active, rows.d, 0.0)
-  eq = rows.equality                   # two-sided rows: force for any jar
+  if rows is not None:
+    j_mat = rows.j                     # (n_d, nv)
+    aref_d = rows.aref
+    dvec_d = jnp.where(rows.active, rows.d, 0.0)
+    eqf = rows.equality.astype(dtype)
+  else:
+    j_mat = _tm.match_vma(jnp.zeros((0, m.nv), dtype=dtype), d.qpos)
+    aref_d = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
+    dvec_d = aref_d
+    eqf = aref_d
+  if scalar is not None:
+    dof = tuple(int(x) for x in scalar.dof)
+    sign = tuple(float(x) for x in scalar.sign)
+    aref_s = scalar.aref
+    dvec_s = jnp.where(scalar.active, scalar.d, 0.0)
+  else:
+    dof, sign = (), ()
+    aref_s = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
+    dvec_s = aref_s
 
-  # The loop carries jar = J qacc - aref so the big (n, nv) reductions run
-  # ONCE per iteration: the line search is evaluated EXACTLY along the
-  # step direction (jar(alpha) = jar - alpha*J step; the cost is quadratic
-  # + piecewise penalty in alpha), instead of re-multiplying J and M into
-  # each candidate — profiled on TPU, the per-candidate matmuls were ~40%
-  # of the Newton cost.
-  def cond(carry):
-    _, _, it, done, _ = carry
-    return jnp.logical_and(it < max_iterations, jnp.logical_not(done))
+  newton = pallas_newton.make_newton(dof, sign, int(max_iterations),
+                                     float(tolerance))
+  qacc, jar_d, jar_s = newton(qm, qacc_smooth, j_mat, aref_d, dvec_d,
+                              eqf, aref_s, dvec_s)
 
-  def body(carry):
-    qacc, jar, it, _, prev_exact = carry
-    active = jnp.logical_or(jar < 0, eq)
-    w = jnp.where(active, dvec, 0.0)
-    e = qacc - qacc_smooth
-    me = qm @ e
-    g = me + j_mat.T @ (w * jar)
-    h = qm + (j_mat.T * w) @ j_mat
-    h = h + 1e-10 * jnp.eye(m.nv, dtype=h.dtype)
-    # SPD solve: vmapped call sites dispatch the fused lane-batched Pallas
-    # kernel (ops/pallas_linalg.py); custom_linear_solve keeps autodiff on
-    # the implicit-function rule instead of differentiating the kernel
-    step = jax.lax.custom_linear_solve(
-        lambda v: h @ v, g,
-        solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
-        symmetric=True)
-
-    js = j_mat @ step                  # (n,) — the one J reduction
-    sme = step @ me
-    sms = step @ (qm @ step)
-    eme = e @ me
-    alphas = jnp.array([0.0, 1.0, 0.5, 0.25, 0.0625], dtype=qacc.dtype)
-    jar_c = jar[None, :] - alphas[:, None] * js[None, :]   # (A, n)
-    pen_c = jnp.where(jnp.logical_or(jar_c < 0, eq[None, :]),
-                      dvec[None, :], 0.0)
-    costs = (0.5 * eme - alphas * sme + 0.5 * alphas * alphas * sms
-             + 0.5 * jnp.sum(pen_c * jar_c * jar_c, axis=-1))
-    best = jnp.argmin(costs)
-    alpha = alphas[best]
-    qacc_new = qacc - alpha * step
-    jar_new = jar - alpha * js
-    # convergence: the cost is piecewise quadratic in qacc, so once the
-    # full Newton step is taken with an unchanged active set, qacc_new is
-    # the KKT point of the convex problem up to the tiny Hessian damping
-    # (which matters for ill-conditioned mass matrices). TWO consecutive
-    # stable-active-set full steps leave only O(damping^2) error — exit
-    # then, or on a small step (truncated-step fallback).
-    new_active = jnp.logical_or(jar_new < 0, eq)
-    exact = jnp.logical_and(best == 1,
-                            jnp.all(new_active == active))
-    small = (jnp.linalg.norm(step)
-             <= tolerance * (1.0 + jnp.linalg.norm(qacc_new)))
-    done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
-    return (qacc_new, jar_new, it + 1, done, exact)
-
-  jar0 = j_mat @ qacc_smooth - rows.aref
-  # fresh booleans must match the carry's varying-manual-axes type when
-  # the solve runs inside shard_map (tpu_math.match_vma is a no-op
-  # elsewhere)
-  from mujoco_mpc_tpu.utils import tpu_math as _tm
-  false0 = _tm.match_vma(jnp.array(False), qacc_smooth)
-  init = (qacc_smooth, jar0, jnp.array(0, dtype=jnp.int32),
-          false0, false0)
-  qacc, jar, _, _, _ = jax.lax.while_loop(cond, body, init)
-  f = jnp.where(jnp.logical_or(jar < 0, eq), -dvec * jar, 0.0)
-  qfrc_constraint = j_mat.T @ f
+  qfrc_constraint = _tm.match_vma(jnp.zeros(m.nv, dtype=dtype), qacc)
+  if rows is not None:
+    f_d = jnp.where(jnp.logical_or(jar_d < 0, rows.equality),
+                    -dvec_d * jar_d, 0.0)
+    qfrc_constraint = qfrc_constraint + j_mat.T @ f_d
+  if scalar is not None:
+    f_s = jnp.where(jar_s < 0, -dvec_s * jar_s, 0.0)
+    sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
+    qfrc_constraint = qfrc_constraint.at[np.asarray(dof, dtype=np.int32)
+                                         ].add(sgn * f_s)
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

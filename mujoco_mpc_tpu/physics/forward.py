@@ -73,8 +73,8 @@ def forward(m: Model, d: Data) -> Data:
   d = d.replace(qfrc_constraint=tm.match_vma(
       jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
   d = fwd_acceleration(m, d)  # qacc_smooth
-  rows = constraint.make_rows(m, d)
-  d = constraint.solve(m, d, rows)
+  rows, scalar = constraint.make_rows_split(m, d)
+  d = constraint.solve(m, d, rows, scalar)
   return d
 
 

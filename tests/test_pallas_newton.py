@@ -1,0 +1,148 @@
+"""Fused Newton kernel (ops/pallas_newton.py) vs the XLA reference path.
+
+The kernel runs the whole contact-Newton loop for 128 samples per Pallas
+program; these tests check (in interpret mode on CPU) that it matches the
+per-sample XLA while_loop bit-for-bit-ish, on synthetic systems and on
+real model constraint rows, and that the custom_jvp implicit tangent
+matches jacfwd of the reference loop.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mujoco_mpc_tpu.ops import pallas_newton
+
+
+def _synthetic_problem(key, bsz, nv, n, ns, dtype=jnp.float32):
+  ks = jax.random.split(key, 8)
+  a = jax.random.normal(ks[0], (bsz, nv, nv), dtype=dtype)
+  qm = a @ jnp.transpose(a, (0, 2, 1)) + 2.0 * jnp.eye(nv, dtype=dtype)
+  qs = jax.random.normal(ks[1], (bsz, nv), dtype=dtype)
+  j = jax.random.normal(ks[2], (bsz, n, nv), dtype=dtype)
+  aref = jax.random.normal(ks[3], (bsz, n), dtype=dtype)
+  dvec = jax.nn.softplus(jax.random.normal(ks[4], (bsz, n), dtype=dtype))
+  eqf = (jax.random.uniform(ks[5], (bsz, n)) < 0.2).astype(dtype)
+  s_aref = jax.random.normal(ks[6], (bsz, ns), dtype=dtype)
+  s_dvec = jax.nn.softplus(jax.random.normal(ks[7], (bsz, ns),
+                                             dtype=dtype))
+  return qm, qs, j, aref, dvec, eqf, s_aref, s_dvec
+
+
+def _run_both(args, dof, sign, cap=30, tol=1e-6):
+  ref = jax.vmap(functools.partial(
+      pallas_newton._newton_reference, dof=dof, sign=sign, cap=cap,
+      tol=tol))(*args)
+  got = pallas_newton.newton_batched(*args, dof=dof, sign=sign, cap=cap,
+                                     tol=tol, interpret=True)
+  return ref, got
+
+
+def test_kernel_matches_reference_dense_and_scalar():
+  nv, n, ns = 7, 12, 4
+  dof = (0, 2, 0, 2)
+  sign = (1.0, 1.0, -1.0, -1.0)
+  args = _synthetic_problem(jax.random.key(0), 130, nv, n, ns)
+  ref, got = _run_both(args, dof, sign)
+  # f32: reduction order differs between the kernel and the XLA path, so
+  # a jar element sitting exactly on an activity boundary can wiggle at
+  # ~1e-3 — compare at that scale, not machine epsilon
+  for r, g in zip(ref, got):
+    np.testing.assert_allclose(np.asarray(r, np.float64),
+                               np.asarray(g, np.float64),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_kernel_matches_reference_dense_only():
+  nv, n = 5, 9
+  qm, qs, j, aref, dvec, eqf, _, _ = _synthetic_problem(
+      jax.random.key(1), 128, nv, n, 1)
+  z = jnp.zeros((128, 0), dtype=qs.dtype)
+  args = (qm, qs, j, aref, dvec, eqf, z, z)
+  ref, got = _run_both(args, (), ())
+  np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_matches_reference_scalar_only():
+  nv, ns = 4, 3
+  qm, qs, _, _, _, _, s_aref, s_dvec = _synthetic_problem(
+      jax.random.key(2), 128, nv, 1, ns)
+  z2 = jnp.zeros((128, 0, nv), dtype=qs.dtype)
+  z1 = jnp.zeros((128, 0), dtype=qs.dtype)
+  args = (qm, qs, z2, z1, z1, z1, s_aref, s_dvec)
+  ref, got = _run_both(args, (1, 3, 1), (1.0, 1.0, -1.0))
+  np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_lane_padding():
+  nv, n = 4, 6
+  qm, qs, j, aref, dvec, eqf, _, _ = _synthetic_problem(
+      jax.random.key(3), 37, nv, n, 1)
+  z = jnp.zeros((37, 0), dtype=qs.dtype)
+  args = (qm, qs, j, aref, dvec, eqf, z, z)
+  ref, got = _run_both(args, (), ())
+  assert got[0].shape == (37, nv)
+  np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_implicit_jvp_matches_loop_jacfwd():
+  """The frozen-active-set implicit tangent vs differentiating the loop.
+
+  f64, well-converged: both compute the derivative of the same piecewise-
+  smooth solution map."""
+  nv, n, ns = 5, 8, 2
+  dof = (1, 1)
+  sign = (1.0, -1.0)
+  args = _synthetic_problem(jax.random.key(4), 1, nv, n, ns,
+                            dtype=jnp.float64)
+  qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = tuple(
+      a[0] for a in args)
+  newton = pallas_newton.make_newton(dof, sign, 100, 1e-12)
+
+  def qacc_of_qs(qs_):
+    return newton(qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec)[0]
+
+  def qacc_of_qs_ref(qs_):
+    return pallas_newton._newton_reference(
+        qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, dof=dof, sign=sign,
+        cap=100, tol=1e-12)[0]
+
+  got = jax.jacfwd(qacc_of_qs)(qs)
+  want = jax.jacfwd(qacc_of_qs_ref)(qs)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-6, atol=1e-8)
+
+  def qacc_of_j(j_):
+    return newton(qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec)[0]
+
+  def qacc_of_j_ref(j_):
+    return pallas_newton._newton_reference(
+        qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec, dof=dof, sign=sign,
+        cap=100, tol=1e-12)[0]
+
+  got_j = jax.jacfwd(qacc_of_j)(j)
+  want_j = jax.jacfwd(qacc_of_j_ref)(j)
+  np.testing.assert_allclose(np.asarray(got_j), np.asarray(want_j),
+                             rtol=1e-6, atol=1e-8)
+
+
+def test_seam_vmap_falls_back_off_tpu():
+  """vmap through make_newton on CPU must agree with the direct loop."""
+  nv, n, ns = 4, 5, 2
+  dof = (0, 3)
+  sign = (1.0, -1.0)
+  args = _synthetic_problem(jax.random.key(5), 16, nv, n, ns,
+                            dtype=jnp.float64)
+  newton = pallas_newton.make_newton(dof, sign, 100, 1e-12)
+  got = jax.vmap(newton)(*args)
+  want = jax.vmap(functools.partial(
+      pallas_newton._newton_reference, dof=dof, sign=sign, cap=100,
+      tol=1e-12))(*args)
+  for g, w in zip(got, want):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-12)
