@@ -43,6 +43,7 @@ class IntegratorType(enum.IntEnum):
 
 class GeomType(enum.IntEnum):
   PLANE = 0
+  HFIELD = 1
   SPHERE = 2
   CAPSULE = 3
   ELLIPSOID = 4
@@ -88,6 +89,7 @@ class Option:
   timestep: jax.Array
   gravity: jax.Array        # (3,)
   wind: jax.Array           # (3,)
+  magnetic: jax.Array       # (3,) global magnetic flux (magnetometer)
   density: jax.Array
   viscosity: jax.Array
   integrator: int = _static(int(IntegratorType.EULER))
@@ -138,6 +140,7 @@ class Model:
   # static candidate collision pairs (geom1, geom2), prefiltered
   collision_pairs: Tuple[Tuple[int, int], ...] = _static(())
   site_bodyid: Tuple[int, ...] = _static(())
+  site_type: Tuple[int, ...] = _static(())    # mjtGeom (touch-sensor zones)
   tendon_limited: Tuple[int, ...] = _static(())
   tendon_names: Tuple[str, ...] = _static(())
   eq_type: Tuple[int, ...] = _static(())      # mjtEq values
@@ -203,6 +206,7 @@ class Model:
   geom_solmix: jax.Array = None     # (ngeom,)
   body_invweight0: jax.Array = None  # (nbody, 2) [trans, rot]
   site_pos: jax.Array = None        # (nsite, 3)
+  site_size: jax.Array = None       # (nsite, 3)
   site_quat: jax.Array = None       # (nsite, 4)
   actuator_gear: jax.Array = None   # (nu, 6)
   actuator_dynprm: jax.Array = None   # (nu, k)
@@ -216,6 +220,10 @@ class Model:
   # Computed at model compile (scipy ConvexHull); a dict-of-arrays pytree
   # so shapes stay static per geom.
   geom_mesh: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = None
+  # height fields: geom id -> (elevation grid (nrow, ncol) in [0, 1],
+  # size (4,) = (radius_x, radius_y, z_top, z_bottom)); grid shapes are
+  # static per geom (reference terrain: quadruped hill task.xml hfield)
+  geom_hfield: Dict[int, Tuple[jax.Array, jax.Array]] = None
 
   # fixed tendons (wrap type joint only; spatial tendons rejected at
   # compile). Moments are configuration-independent, so both maps are
@@ -331,7 +339,8 @@ class Data:
 # Model compiler: mujoco.MjModel -> Model
 # ---------------------------------------------------------------------------
 
-_SUPPORTED_GEOMS = {0: GeomType.PLANE, 2: GeomType.SPHERE, 3: GeomType.CAPSULE,
+_SUPPORTED_GEOMS = {0: GeomType.PLANE, 1: GeomType.HFIELD,
+                    2: GeomType.SPHERE, 3: GeomType.CAPSULE,
                     4: GeomType.ELLIPSOID, 5: GeomType.CYLINDER,
                     6: GeomType.BOX, 7: GeomType.MESH}
 
@@ -474,10 +483,23 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
         eqs = eqs[np.argsort(eqs[:, 3])[:64]]
       geom_mesh[g] = (f(hv), f(eqs[:, :3]), f(eqs[:, 3]))
 
+  # height-field elevation grids (mjGEOM_HFIELD)
+  geom_hfield = {}
+  for g in range(mj.ngeom):
+    if int(mj.geom_type[g]) == 1:
+      hid = int(mj.geom_dataid[g])
+      nrow = int(mj.hfield_nrow[hid])
+      ncol = int(mj.hfield_ncol[hid])
+      adr = int(mj.hfield_adr[hid])
+      grid = np.array(mj.hfield_data[adr:adr + nrow * ncol],
+                      dtype=np.float64).reshape(nrow, ncol)
+      geom_hfield[g] = (f(grid), f(mj.hfield_size[hid]))
+
   opt = Option(
       timestep=f(mj.opt.timestep),
       gravity=f(np.zeros(3) if gravity_disabled else mj.opt.gravity),
       wind=f(mj.opt.wind),
+      magnetic=f(mj.opt.magnetic),
       density=f(mj.opt.density),
       viscosity=f(mj.opt.viscosity),
       integrator=int(mj.opt.integrator),
@@ -518,6 +540,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       geom_priority=t(mj.geom_priority),
       collision_pairs=tuple(pairs),
       site_bodyid=t(mj.site_bodyid),
+      site_type=t(mj.site_type),
       actuator_trntype=t(mj.actuator_trntype),
       actuator_dyntype=t(mj.actuator_dyntype),
       actuator_gaintype=t(mj.actuator_gaintype),
@@ -574,6 +597,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       geom_solmix=f(mj.geom_solmix),
       body_invweight0=f(mj.body_invweight0),
       site_pos=f(mj.site_pos),
+      site_size=f(mj.site_size),
       site_quat=f(mj.site_quat),
       actuator_gear=f(mj.actuator_gear),
       actuator_dynprm=f(mj.actuator_dynprm),
@@ -582,6 +606,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       actuator_ctrlrange=f(mj.actuator_ctrlrange),
       actuator_forcerange=f(mj.actuator_forcerange),
       geom_mesh=geom_mesh,
+      geom_hfield=geom_hfield,
       eq_data=f(mj.eq_data),
       eq_solref=f(mj.eq_solref),
       eq_solimp=f(mj.eq_solimp),

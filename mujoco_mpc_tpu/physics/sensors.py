@@ -13,11 +13,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mujoco_mpc_tpu.physics.model import Data, Model
 from mujoco_mpc_tpu.utils import tpu_math as tm
 
 # mjtSensor values
+TOUCH = 0
+FORCE = 4
+TORQUE = 5
 JOINTPOS = 9
 JOINTVEL = 10
 TENDONPOS = 11
@@ -37,6 +41,7 @@ FRAMEANGVEL = 32
 ACCELEROMETER = 1
 VELOCIMETER = 2
 GYRO = 3
+MAGNETOMETER = 6
 SUBTREECOM = 35
 SUBTREELINVEL = 36
 SUBTREEANGMOM = 37
@@ -47,11 +52,12 @@ USER = 48
 # loudly on anything else (silent zeros in an estimator pipeline is a
 # footgun — VERDICT round 1)
 SUPPORTED_SENSORS = frozenset({
+    TOUCH, FORCE, TORQUE,
     JOINTPOS, JOINTVEL, TENDONPOS, TENDONVEL, ACTUATORPOS, ACTUATORVEL,
     ACTUATORFRC, BALLQUAT, BALLANGVEL, FRAMEPOS, FRAMEQUAT, FRAMEXAXIS,
     FRAMEYAXIS, FRAMEZAXIS, FRAMELINVEL, FRAMEANGVEL, ACCELEROMETER,
-    VELOCIMETER, GYRO, SUBTREECOM, SUBTREELINVEL, SUBTREEANGMOM, CLOCK,
-    USER,
+    VELOCIMETER, GYRO, MAGNETOMETER, SUBTREECOM, SUBTREELINVEL,
+    SUBTREEANGMOM, CLOCK, USER,
 })
 
 # mjtObj values
@@ -92,11 +98,71 @@ def _cacc(m: Model, d: Data):
   return jnp.stack(cacc)
 
 
+def _cfrc_int(m: Model, d: Data) -> jax.Array:
+  """Interaction force of each body with its parent (mj_rnePostConstraint
+  cfrc_int): (nbody, 6) spatial (torque, force) about the subtree com of
+  the body's kinematic root.
+
+  cfrc_int[b] = sum over subtree(b) of (I a + v x* I v - f_ext), where
+  accelerations come from the post-constraint qacc and f_ext collects
+  xfrc_applied plus decoded contact wrenches
+  (physics/constraint.contact_forces). Connect/weld equality wrenches are
+  not yet folded in — force sensors on equality-constrained subtrees are
+  unsupported."""
+  from mujoco_mpc_tpu.physics import constraint, structure
+
+  dtype = d.qpos.dtype
+  cacc = _cacc(m, d)                                    # (nbody, 6)
+  iv = tm.inert_vec(d.cinert, d.cvel)
+  cfrc_body = tm.inert_vec(d.cinert, cacc) + tm.force_cross(d.cvel, iv)
+
+  rootid = jnp.asarray(m.body_rootid)
+  com_root = d.subtree_com[rootid]                      # (nbody, 3)
+  # applied external wrenches about the root com
+  xf = d.xfrc_applied                                   # (nbody, 6) f, t
+  rot = xf[:, 3:] + jnp.cross(d.xipos - com_root, xf[:, :3])
+  cfrc_ext = jnp.concatenate([rot, xf[:, :3]], axis=1)  # (nbody, 6)
+
+  cf = constraint.contact_forces(m, d)
+  if cf is not None:
+    fw = jnp.einsum('prx,pr->px', cf.frame, cf.force6[:, :3])  # (P, 3)
+    tw = jnp.einsum('prx,pr->px', cf.frame, cf.force6[:, 3:])
+    for bodies, sign in ((cf.b2, 1.0), (cf.b1, -1.0)):
+      off = cf.pos - d.subtree_com[jnp.asarray(
+          np.asarray(m.body_rootid)[bodies])]
+      w = sign * jnp.concatenate([tw + jnp.cross(off, fw), fw], axis=1)
+      cfrc_ext = cfrc_ext.at[np.asarray(bodies)].add(w.astype(dtype))
+
+  d_sub = jnp.asarray(structure.subtree_mask(m.body_parentid), dtype)
+  return d_sub @ (cfrc_body - cfrc_ext)
+
+
+def _inside_site(m: Model, objid: int, local: jax.Array) -> jax.Array:
+  """Is a site-frame point inside the site volume (touch sensor zone)?"""
+  t = m.site_type[objid]
+  size = m.site_size[objid]
+  if t == 2:    # sphere
+    return jnp.sum(local ** 2) <= size[0] ** 2
+  if t == 3:    # capsule
+    z = jnp.clip(local[2], -size[1], size[1])
+    return (local[0] ** 2 + local[1] ** 2
+            + (local[2] - z) ** 2) <= size[0] ** 2
+  if t == 4:    # ellipsoid
+    return jnp.sum((local / jnp.maximum(size, 1e-12)) ** 2) <= 1.0
+  if t == 5:    # cylinder
+    return jnp.logical_and(jnp.abs(local[2]) <= size[1],
+                           local[0] ** 2 + local[1] ** 2 <= size[0] ** 2)
+  # box (6) and default
+  return jnp.all(jnp.abs(local) <= size)
+
+
 def sensordata(m: Model, d: Data) -> jax.Array:
   """Evaluate all sensors -> (nsensordata,). Requires post-forward Data."""
   dtype = d.qpos.dtype
   out = jnp.zeros(m.nsensordata, dtype=dtype)
   cacc = None
+  cfrc = None       # cfrc_int, computed once if any force/torque sensor
+  cforces = None    # decoded contact forces, once if any touch sensor
 
   for s in range(len(m.sensor_type)):
     stype = m.sensor_type[s]
@@ -134,6 +200,40 @@ def sensordata(m: Model, d: Data) -> jax.Array:
     elif stype == GYRO:
       _, mat, bodyid = _object_frame(m, d, objtype, objid)
       val = mat.T @ d.cvel[bodyid, :3]
+    elif stype == MAGNETOMETER:
+      _, mat, _ = _object_frame(m, d, objtype, objid)
+      val = mat.T @ m.opt.magnetic
+    elif stype in (FORCE, TORQUE):
+      # interaction force/torque with the parent body, at the site, in
+      # the site frame (mj_rnePostConstraint cfrc_int + spatial shift)
+      if cfrc is None:
+        cfrc = _cfrc_int(m, d)
+      bodyid = m.site_bodyid[objid]
+      wrench = cfrc[bodyid]
+      com_r = d.subtree_com[m.body_rootid[bodyid]]
+      force = wrench[3:]
+      if stype == FORCE:
+        val = d.site_xmat[objid].T @ force
+      else:
+        torque = wrench[:3] - jnp.cross(d.site_xpos[objid] - com_r, force)
+        val = d.site_xmat[objid].T @ torque
+    elif stype == TOUCH:
+      # sum of contact normal forces on the site's body with the contact
+      # point inside the site volume (mj_sensorAcc touch semantics)
+      from mujoco_mpc_tpu.physics import constraint as _con
+      if cforces is None:
+        cforces = _con.contact_forces(m, d)
+      bodyid = m.site_bodyid[objid]
+      total = jnp.zeros((), dtype=dtype)
+      if cforces is not None:
+        onbody = np.flatnonzero((cforces.b1 == bodyid)
+                                | (cforces.b2 == bodyid))
+        for ci in onbody:
+          local = d.site_xmat[objid].T @ (cforces.pos[ci]
+                                          - d.site_xpos[objid])
+          inside = _inside_site(m, objid, local)
+          total = total + jnp.where(inside, cforces.force6[ci, 0], 0.0)
+      val = total[None]
     elif stype == VELOCIMETER:
       pos, mat, bodyid = _object_frame(m, d, objtype, objid)
       v, _ = _point_vel(m, d, bodyid, pos)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from mujoco_mpc_tpu.ops import spline
 from mujoco_mpc_tpu.planners import (cross_entropy, gradient_planner, ilqg,
-                                     ilqs, robust, sample_gradient, sampling)
+                                     ilqs, ranked, robust, sample_gradient,
+                                     sampling)
 from mujoco_mpc_tpu.tasks.base import TaskSpec
 
 PLANNER_NAMES = ('Sampling', 'Gradient', 'iLQG', 'iLQS', 'Robust Sampling',
@@ -104,20 +105,37 @@ def make_planner(spec: TaskSpec, planner_id: int, num_samples: int,
                                      interp)
 
   elif planner_id == ROBUST:
-    scfg = sampling.default_config(spec, dtype)
+    # decorator over any RankedPlanner (reference planner.h:84-102); the
+    # delegate family comes from the `robust_delegate` MJCF custom numeric
+    # (0 Sampling — the reference's instantiation, include.cc:48-49 —
+    # 5 Cross Entropy, 6 Sample Gradient)
     rcfg = robust.default_config(spec, dtype)
+    delegate_id = int(spec.config.get('robust_delegate', SAMPLING))
+    if delegate_id == CEM:
+      delegate = ranked.make_cem_delegate(
+          spec, cross_entropy.default_config(spec, dtype), num_samples,
+          num_points, horizon_steps, interp, dtype)
+    elif delegate_id == SAMPLE_GRADIENT:
+      delegate = ranked.make_sample_gradient_delegate(
+          spec, sample_gradient.default_config(spec, dtype), num_samples,
+          min(8, max(num_samples // 8, 1)), num_points, horizon_steps,
+          interp, dtype)
+    else:
+      delegate = ranked.make_sampling_delegate(
+          spec, sampling.default_config(spec, dtype), num_samples,
+          num_points, horizon_steps, interp, dtype)
 
     def init():
-      return sampling.default_policy(spec, num_points, dtype)
+      return delegate.init()
 
     def optimize(state, d0, params, key):
-      return robust.optimize(
-          spec, state, d0, params, scfg, rcfg, key, num_samples,
+      return robust.optimize_ranked(
+          spec, delegate, state, d0, params, rcfg, key,
           min(robust.DEFAULT_NCANDIDATES, num_samples),
           robust.DEFAULT_NREPETITIONS, horizon_steps, interp)
 
     def action(state, qpos, qvel, act, time):
-      return sampling.action_from_policy(spec, state, time, interp)
+      return delegate.action(state, time)
 
   elif planner_id == CEM:
     cfg = cross_entropy.default_config(spec, dtype)

@@ -1,25 +1,31 @@
 """Robust planner: re-score top candidates under force perturbations.
 
 TPU-native re-design of the reference RobustPlanner
-(/root/reference/mjpc/planners/robust/robust_planner.cc:91-155), a decorator
-over the sampling planner: take the top-N candidates, re-roll each with R
-Ornstein-Uhlenbeck xfrc_applied perturbation repetitions (the reference's
-NoisyRollout), average each candidate's return with its nominal score, and
-pick the best average. The N x R grid is a single flattened vmap — the
-scenario/repetition parallel axis from SURVEY.md §5.8 — and shards over a
-mesh the same way the sample axis does.
+(/root/reference/mjpc/planners/robust/robust_planner.cc:91-155), a
+decorator over any RankedPlanner (planner.h:84-102): ask the delegate for
+its top-N candidates, re-roll each with R Ornstein-Uhlenbeck xfrc_applied
+perturbation repetitions (the reference's NoisyRollout), average each
+candidate's return with its nominal score, and promote the best average
+via the delegate's select(). The N x R grid is a single flattened vmap —
+the scenario/repetition parallel axis from SURVEY.md §5.8 — and shards
+over a mesh the same way the sample axis does.
+
+The reference only ever instantiates the decorator over SamplingPlanner
+(include.cc:48-49); here the delegate is any of the sampling family
+(planners/ranked.py), selected per task by the `robust_delegate` MJCF
+custom numeric.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 from flax import struct
 import jax
 import jax.numpy as jnp
 
 from mujoco_mpc_tpu.physics.model import Data
-from mujoco_mpc_tpu.planners import rollout, sampling
+from mujoco_mpc_tpu.planners import ranked, rollout, sampling
 from mujoco_mpc_tpu.tasks.base import TaskParams, TaskSpec
 
 # reference defaults (robust_planner.h:67-72)
@@ -40,35 +46,24 @@ def default_config(spec: TaskSpec, dtype=jnp.float32) -> RobustConfig:
       xfrc_rate=jnp.asarray(cfg.get('robust_xfrc_rate', 0.1), dtype))
 
 
-def optimize(spec: TaskSpec, policy: sampling.SamplingPolicy, d0: Data,
-             params: TaskParams, scfg: sampling.SamplingConfig,
-             rcfg: RobustConfig, key: jax.Array, num_samples: int,
-             ncandidates: int, nrepetitions: int, horizon_steps: int,
-             interp: int) -> Tuple[sampling.SamplingPolicy, dict]:
-  """One robust planning iteration."""
+def optimize_ranked(spec: TaskSpec, delegate: ranked.RankedDelegate,
+                    state: Any, d0: Data, params: TaskParams,
+                    rcfg: RobustConfig, key: jax.Array, ncandidates: int,
+                    nrepetitions: int, horizon_steps: int,
+                    interp: int) -> Tuple[Any, dict]:
+  """One robust planning iteration over any ranked delegate."""
   k_sample, k_noise = jax.random.split(key)
 
-  # phase 1: delegate candidate generation + scoring (sampling skeleton)
-  nominal = sampling.resample_nominal(spec, policy, d0.time, horizon_steps,
-                                      scfg, interp)
-  candidates = sampling.sample_candidates(spec, nominal, num_samples, scfg,
-                                          k_sample)
-  returns = sampling.rollout_candidates(
-      spec, d0, nominal.times, candidates, params, horizon_steps, scfg,
-      interp)
-
-  # top-N candidates
-  neg_top, top_idx = jax.lax.top_k(-returns, ncandidates)
-  top_values = candidates[top_idx]                  # (N, P, nu)
-  top_scores = -neg_top                             # (N,)
+  # phase 1: the delegate produces its ranked top-N candidates
+  rc = delegate.optimize_candidates(state, d0, params, k_sample, ncandidates)
 
   # phase 2: N x R noisy re-evaluations, flattened into one vmap
   keys = jax.random.split(k_noise, ncandidates * nrepetitions)
-  rep_values = jnp.repeat(top_values, nrepetitions, axis=0)
+  rep_values = jnp.repeat(rc.values, nrepetitions, axis=0)
 
   def one(values, k):
-    acts = sampling.candidate_actions(nominal.times, values, horizon_steps,
-                                      scfg.timestep, interp)
+    acts = sampling.candidate_actions(rc.times, values, horizon_steps,
+                                      delegate.timestep, interp)
     return rollout.noisy_rollout_return(
         spec, d0, acts, params, k, rcfg.xfrc_std, rcfg.xfrc_rate)
 
@@ -79,15 +74,27 @@ def optimize(spec: TaskSpec, policy: sampling.SamplingPolicy, d0: Data,
   valid = noisy_returns < rollout.MAX_RETURN_VALUE
   nvalid = jnp.sum(valid, axis=1)
   noisy_sum = jnp.sum(jnp.where(valid, noisy_returns, 0.0), axis=1)
-  mean_return = (top_scores + noisy_sum) / (1.0 + nvalid)
+  mean_return = (rc.scores + noisy_sum) / (1.0 + nvalid)
 
   winner = jnp.argmin(mean_return)
-  new_policy = sampling.SamplingPolicy(times=nominal.times,
-                                       values=top_values[winner])
+  new_state = delegate.select(rc, winner)
   info = {
-      'best_return': top_scores[winner],
+      'best_return': rc.scores[winner],
       'best_robust_score': mean_return[winner],
-      'nominal_return': returns[0],
-      'winner': top_idx[winner],
+      'nominal_return': rc.scores[0],
+      'winner': winner,
   }
-  return new_policy, info
+  return new_state, info
+
+
+def optimize(spec: TaskSpec, policy: sampling.SamplingPolicy, d0: Data,
+             params: TaskParams, scfg: sampling.SamplingConfig,
+             rcfg: RobustConfig, key: jax.Array, num_samples: int,
+             ncandidates: int, nrepetitions: int, horizon_steps: int,
+             interp: int) -> Tuple[sampling.SamplingPolicy, dict]:
+  """Robust-over-Sampling (the reference's instantiation)."""
+  delegate = ranked.make_sampling_delegate(
+      spec, scfg, num_samples, policy.times.shape[0], horizon_steps, interp,
+      dtype=policy.values.dtype)
+  return optimize_ranked(spec, delegate, policy, d0, params, rcfg, key,
+                         ncandidates, nrepetitions, horizon_steps, interp)

@@ -1391,8 +1391,31 @@ def _humanoid_track() -> base.TaskSpec:
 # ---------------------------------------------------------------------------
 
 
+# number of contact-pair slots in a keyframe
+# (reference kNumberOfContactPairsInteract, contact_keyframe.h:28)
+_INTERACT_NPAIRS = 5
+# per-mode weight presets over the 13 terms, applied on mode switch by the
+# transition (reference default_weights + TransitionLocked, interact.h:42-48,
+# interact.cc:200-206); rows: Sitting, Standing, Relaxing, StayingStill
+_INTERACT_MODE_WEIGHTS = (
+    (10., 10., 5., 5., 0., 20., 30., 0., 0., 0., 0.01, 0.1, 80.),
+    (10., 0., 1., 1., 80., 0., 0., 100., 0., 0., 0.01, 0.025, 0.),
+    (0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.01, 0.8, 80.),
+    (0., 0., 0., 0., 0., 0., 0., 0., 0., 50., 20., 0.025, 80.),
+)
+
+
 @register('Humanoid Interact')
 def _humanoid_interact() -> base.TaskSpec:
+  """Humanoid scene interaction with contact keyframes.
+
+  Reference parity: mjpc/tasks/humanoid/interact/{interact.cc,
+  contact_keyframe.h} — a ContactKeyframe holds up to 5 contact pairs
+  (body1/local_pos1 <-> body2/local_pos2), an xy facing target, and
+  per-mode weight presets (Sitting/Standing/Relaxing/StayingStill).
+  Here the keyframe lives in residual parameters (kf{i}_* slots), so the
+  GUI/RPC can retarget contacts live without recompiling, and the mode
+  preset swap runs in the pure transition function."""
   with open(os.path.join(_MODELS_DIR, 'humanoid.xml')) as f:
     xml = f.read()
   chair = """    <body name="chair" pos="-0.4 0 0">
@@ -1409,32 +1432,121 @@ def _humanoid_interact() -> base.TaskSpec:
       <site name="seat_site" pos="0 0 0.48"/>
     </body>
 """
+  # 13 cost terms in the reference's residual order (interact.cc:165-199)
   sensors = """  <sensor>
-    <user name="Sit" dim="3" user="2 5.0 0.0 10.0 0.01"/>
-    <user name="Upright" dim="3" user="6 3.0 0.0 10.0 0.05"/>
-    <user name="Still" dim="2" user="0 1.0 0.0 5.0"/>
-    <user name="Control" dim="17" user="0 0.02 0.0 0.1"/>
+    <user name="Up Torso" dim="1" user="0 10.0 0.0 20.0"/>
+    <user name="Up Pelvis" dim="1" user="0 10.0 0.0 20.0"/>
+    <user name="Up Foot R" dim="1" user="0 5.0 0.0 20.0"/>
+    <user name="Up Foot L" dim="1" user="0 5.0 0.0 20.0"/>
+    <user name="Head Height" dim="1" user="0 0.0 0.0 100.0"/>
+    <user name="Torso Height" dim="1" user="0 20.0 0.0 100.0"/>
+    <user name="Knee Feet XY" dim="1" user="0 30.0 0.0 100.0"/>
+    <user name="COM Feet XY" dim="1" user="0 0.0 0.0 100.0"/>
+    <user name="Facing" dim="1" user="0 0.0 0.0 10.0"/>
+    <user name="COM Vel" dim="2" user="0 0.0 0.0 100.0"/>
+    <user name="Joint Vel" dim="17" user="0 0.01 0.0 20.0"/>
+    <user name="Control" dim="17" user="0 0.1 0.0 1.0"/>
+    <user name="Contact" dim="15" user="0 80.0 0.0 200.0"/>
     <framepos name="torso_position" objtype="site" objname="torso_site"/>
   </sensor>"""
+  numerics = ['    <numeric name="residual_head_height" data="1.5 0 2"/>',
+              '    <numeric name="residual_torso_height" data="1.1 0 2"/>',
+              '    <numeric name="residual_facing_x" data="0 -3 3"/>',
+              '    <numeric name="residual_facing_y" data="0 -3 3"/>',
+              '    <numeric name="residual_facing_active" data="0 0 1"/>']
+  for i in range(_INTERACT_NPAIRS):
+    numerics.append(
+        f'    <numeric name="residual_kf{i}_body1" data="-1 -1 40"/>')
+    numerics.append(
+        f'    <numeric name="residual_kf{i}_body2" data="-1 -1 40"/>')
+    for fld in ('l1x', 'l1y', 'l1z', 'l2x', 'l2y', 'l2z'):
+      numerics.append(
+          f'    <numeric name="residual_kf{i}_{fld}" data="0 -1 1"/>')
+  numerics.append('    <numeric name="residual_select_mode" data="0 3"/>')
+  custom = '  <custom>\n' + '\n'.join(numerics) + '\n  </custom>\n'
+
   start = xml.index('  <sensor>')
   end = xml.index('</sensor>') + len('</sensor>')
   xml = xml[:start] + sensors + xml[end:]
   xml = xml.replace('<mujoco model="Humanoid">',
-                    '<mujoco model="Humanoid Interact">')
+                    '<mujoco model="Humanoid Interact">\n' + custom)
   xml = xml.replace('    <body name="torso" pos="0 0 1.4">',
                     chair + '    <body name="torso" pos="0 0 1.4">')
 
   spec_model, _ = load_model(xml_string=xml)
   torso = spec_model.body('torso')
-  pelvis = spec_model.site('pelvis_site')
-  seat = spec_model.site('seat_site')
+  pelvis_b = spec_model.body('pelvis')
+  feet_b = [spec_model.body('right_foot'), spec_model.body('left_foot')]
+  knees_b = [spec_model.body('right_shin'), spec_model.body('left_shin')]
+  head_s = spec_model.site('head_site')
+  torso_s = spec_model.site('torso_site')
+  nbody = len(spec_model.body_parentid)
+  idx = {}   # residual-param name -> index, bound after build
+
+  def _up(d, body):
+    return jnp.abs(d.xmat[body][2, 2] - 1.0)
 
   def residual(m, d, rp):
-    sit = d.site_xpos[pelvis] - d.site_xpos[seat]
-    upright = d.xmat[torso][:, 2] - jnp.array([0., 0., 1.],
-                                              dtype=d.qpos.dtype)
-    com_vel = support.subtree_linvel(m, d, torso)
-    return jnp.concatenate([sit, upright, com_vel[:2], d.ctrl])
+    dtype = d.qpos.dtype
+    up = jnp.stack([_up(d, torso), _up(d, pelvis_b), _up(d, feet_b[0]),
+                    _up(d, feet_b[1])])
+    head_h = jnp.abs(d.site_xpos[head_s][2] - rp[idx['head_height']])
+    torso_h = jnp.abs(d.site_xpos[torso_s][2] - rp[idx['torso_height']])
+    knee_xy = 0.5 * (d.xpos[knees_b[0]][:2] + d.xpos[knees_b[1]][:2])
+    foot_xy = 0.5 * (d.xpos[feet_b[0]][:2] + d.xpos[feet_b[1]][:2])
+    knee_feet = jnp.linalg.norm(knee_xy - foot_xy)
+    com = d.subtree_com[torso]
+    com_feet = jnp.linalg.norm(com[:2] - foot_xy)
+    # facing-direction residual (interact.cc:96-113)
+    tpos = d.site_xpos[torso_s][:2]
+    target = jnp.stack([rp[idx['facing_x']], rp[idx['facing_y']]]) - tpos
+    target = target / jnp.maximum(jnp.linalg.norm(target), 1e-6)
+    fwd = d.xmat[torso][:2, 0]
+    facing = (jnp.linalg.norm(target - fwd)
+              * (rp[idx['facing_active']] > 0.5))
+    com_vel = support.subtree_linvel(m, d, torso)[:2]
+    # contact-pair residual (interact.cc:115-144): per-pair |p1 - p2| xyz
+    contacts = []
+    for i in range(_INTERACT_NPAIRS):
+      b1f = rp[idx[f'kf{i}_body1']]
+      b2f = rp[idx[f'kf{i}_body2']]
+      b1 = jnp.clip(jnp.round(b1f).astype(jnp.int32), 0, nbody - 1)
+      b2 = jnp.clip(jnp.round(b2f).astype(jnp.int32), 0, nbody - 1)
+      l1 = rp[idx[f'kf{i}_l1x']:idx[f'kf{i}_l1x'] + 3]
+      l2 = rp[idx[f'kf{i}_l2x']:idx[f'kf{i}_l2x'] + 3]
+      g1 = d.xpos[b1] + d.xmat[b1] @ l1
+      g2 = d.xpos[b2] + d.xmat[b2] @ l2
+      active = jnp.logical_and(b1f >= -0.5, b2f >= -0.5).astype(dtype)
+      contacts.append(jnp.abs(g1 - g2) * active)
+    return jnp.concatenate([
+        up, head_h[None], torso_h[None], knee_feet[None], com_feet[None],
+        facing[None], com_vel, d.qvel[6:], d.ctrl] + contacts)
 
-  return _build('Humanoid Interact', 'humanoid.xml', residual,
-                xml_string=xml)
+  widx = {}  # weight term index, bound after build
+  mode_w = jnp.asarray(_INTERACT_MODE_WEIGHTS, dtype=jnp.float32)
+
+  def transition(m, d, params, key):
+    """Apply the per-mode weight preset when the mode changes
+    (reference TransitionLocked, interact.cc:200-206)."""
+    rp = params.residual_params
+    mode = jnp.clip(jnp.round(rp[idx['select_mode']]).astype(jnp.int32),
+                    0, 3)
+    prev = jnp.clip(jnp.round(rp[idx['_cur_mode']]).astype(jnp.int32), 0, 3)
+    changed = mode != prev
+    preset = mode_w[mode]
+    w = params.weights
+    order = [widx[n] for n in
+             ('Up Torso', 'Up Pelvis', 'Up Foot R', 'Up Foot L',
+              'Head Height', 'Torso Height', 'Knee Feet XY', 'COM Feet XY',
+              'Facing', 'COM Vel', 'Joint Vel', 'Control', 'Contact')]
+    new_w = w.at[jnp.asarray(order)].set(preset.astype(w.dtype))
+    w = jnp.where(changed, new_w, w)
+    rp = rp.at[idx['_cur_mode']].set(mode.astype(rp.dtype))
+    return d, params.replace(weights=w, residual_params=rp)
+
+  spec = _build('Humanoid Interact', 'humanoid.xml', residual,
+                transition_fn=transition, xml_string=xml,
+                state_params=(('_cur_mode', 0.0),))
+  idx.update({n: i for i, n in enumerate(spec.residual_param_names)})
+  widx.update({n: i for i, n in enumerate(spec.term_names)})
+  return spec

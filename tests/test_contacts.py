@@ -218,3 +218,48 @@ def test_mesh_hull_contacts():
   z = float(d.qpos[2])
   assert abs(z - float(mjd.qpos[2])) < 2e-3, (z, float(mjd.qpos[2]))
   assert float(jnp.linalg.norm(d.qvel)) < 0.2
+
+
+def test_sliding_friction_long_horizon():
+  """condim-3 kinetic friction: a box shoved across a plane decelerates
+  under sliding friction and stops; golden vs MuJoCo over 500 steps
+  (VERDICT round 1: long-horizon condim>1 sliding coverage)."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002" gravity="0 0 -9.81"/>
+    <worldbody>
+      <geom type="plane" size="8 8 0.1" friction="0.4"/>
+      <body pos="0 0 0.0499">
+        <freejoint/>
+        <geom type="box" size="0.05 0.05 0.05" mass="0.4" friction="0.4"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  qpos0 = [0, 0, 0.0499, 1, 0, 0, 0]
+  qvel0 = [2.5, 0.6, 0, 0, 0, 0]           # fast diagonal shove
+  m, d, mjm, mjd = _traj_check(xml, qpos0, qvel0, 500, atol=5e-3)
+  # the slide actually happened and friction dissipated it
+  assert mjd.qpos[0] > 0.3
+  assert abs(np.asarray(d.qvel)[0]) < 0.05
+
+
+def test_rolling_friction_condim6_long_horizon():
+  """condim-6: a rolling sphere with torsional+rolling friction slows
+  down; golden vs MuJoCo over 400 steps."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002" gravity="0 0 -9.81"/>
+    <worldbody>
+      <geom type="plane" size="8 8 0.1" condim="6"
+            friction="0.6 0.01 0.002"/>
+      <body pos="0 0 0.0999">
+        <freejoint/>
+        <geom type="sphere" size="0.1" mass="0.3" condim="6"
+              friction="0.6 0.01 0.002"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  qpos0 = [0, 0, 0.0999, 1, 0, 0, 0]
+  qvel0 = [1.5, 0, 0, 0, 15.0, 0]           # rolling forward
+  m, d, mjm, mjd = _traj_check(xml, qpos0, qvel0, 400, atol=8e-3)
+  assert mjd.qpos[0] > 0.4                  # it rolled

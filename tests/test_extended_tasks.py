@@ -137,3 +137,64 @@ def test_rubik_face_turnable_by_contact():
   moved = np.abs(np.array(d.qpos[7:13]) - start).max()
   assert np.isfinite(moved)
   assert moved > 0.01, f'faces did not move under contact ({moved})'
+
+
+def test_interact_contact_keyframe_residual():
+  """Contact-pair slots in the keyframe drive the Contact residual
+  (reference ContactResidual, interact.cc:115-144): inactive pairs give
+  zeros; an active pelvis<->chair pair measures the world-frame gap."""
+  spec = registry.get_task('Humanoid Interact')
+  m = spec.model
+  idx = {n: i for i, n in enumerate(spec.residual_param_names)}
+  widx = {n: i for i, n in enumerate(spec.term_names)}
+  d = fwd.forward(m, make_data(m))
+  params = spec.default_params
+  r0 = spec.residual_fn(m, d, params.residual_params)
+  off = sum(spec.term_dims[:widx['Contact']])
+  contact0 = np.array(r0[off:off + 15])
+  assert np.allclose(contact0, 0.0)  # no pair selected by default
+
+  # activate pair 0: pelvis body <-> chair body at the seat point
+  import mujoco
+  mjm = spec.mj_model
+  pelvis = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, 'pelvis')
+  chair = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, 'chair')
+  rp = params.residual_params
+  rp = rp.at[idx['kf0_body1']].set(float(pelvis))
+  rp = rp.at[idx['kf0_body2']].set(float(chair))
+  rp = rp.at[idx['kf0_l2z']].set(0.48)
+  r1 = spec.residual_fn(m, d, rp)
+  contact1 = np.array(r1[off:off + 15])
+  assert contact1[:3].max() > 0.1  # pelvis is not on the seat initially
+  assert np.allclose(contact1[3:], 0.0)  # other pairs still inactive
+  # residual equals |p_pelvis - p_seat| componentwise
+  import mujoco as mj
+  want = np.abs(np.array(d.xpos[pelvis])
+                - (np.array(d.xpos[chair]) + np.array([0, 0, 0.48])))
+  np.testing.assert_allclose(contact1[:3], want, atol=1e-5)
+
+
+def test_interact_mode_presets():
+  """Mode switch applies the per-mode weight preset via the transition
+  (reference default_weights + TransitionLocked, interact.h:42-48)."""
+  spec = registry.get_task('Humanoid Interact')
+  m = spec.model
+  idx = {n: i for i, n in enumerate(spec.residual_param_names)}
+  widx = {n: i for i, n in enumerate(spec.term_names)}
+  d = fwd.forward(m, make_data(m))
+  params = spec.default_params
+  # switch to Standing (mode 1): head-height weight becomes 80
+  rp = params.residual_params.at[idx['select_mode']].set(1.0)
+  params = params.replace(residual_params=rp)
+  _, params = spec.transition_fn(m, d, params, jax.random.key(0))
+  w = np.array(params.weights)
+  assert w[widx['Head Height']] == 80.0
+  assert w[widx['COM Feet XY']] == 100.0
+  assert w[widx['Contact']] == 0.0
+  # switch to StayingStill (mode 3): COM-vel weight 50, contact back to 80
+  rp = params.residual_params.at[idx['select_mode']].set(3.0)
+  params = params.replace(residual_params=rp)
+  _, params = spec.transition_fn(m, d, params, jax.random.key(0))
+  w = np.array(params.weights)
+  assert w[widx['COM Vel']] == 50.0
+  assert w[widx['Contact']] == 80.0

@@ -34,6 +34,7 @@ XML = """
     <gyro name="gy" site="s1"/>
     <velocimeter name="vm" site="s2"/>
     <accelerometer name="ac" site="s1"/>
+    <magnetometer name="mg" site="s1"/>
     <subtreecom name="sc" body="world"/>
   </sensor>
 </mujoco>
@@ -64,3 +65,83 @@ def test_sensordata_matches_mujoco():
 
   np.testing.assert_allclose(ours, mj_sd, atol=1e-8,
                              err_msg=str(list(zip(ours, mj_sd))))
+
+
+FORCE_XML = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="2 2 0.1" contype="1"
+          conaffinity="1"/>
+    <body name="plate" pos="0 0 0.3">
+      <geom name="plate_g" type="box" size="0.2 0.2 0.02" mass="0.3"
+            contype="2" conaffinity="2"/>
+      <site name="fs" pos="0 0 0" type="box" size="0.01 0.01 0.01"/>
+      <site name="ts" pos="0 0 0.02" type="box" size="0.21 0.21 0.08"/>
+    </body>
+    <body name="box" pos="0.05 0 0.38">
+      <freejoint/>
+      <geom name="box_g" type="box" size="0.05 0.05 0.05" mass="0.2"
+            contype="3" conaffinity="3"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <force name="f" site="fs"/>
+    <torque name="t" site="fs"/>
+    <touch name="touch" site="ts"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_force_torque_touch_golden():
+  """Force/torque (cfrc_int) and touch sensors vs MuJoCo on a box resting
+  on a sensored plate (plate welded to world, box in contact)."""
+  mjm = mujoco.MjModel.from_xml_string(FORCE_XML)
+  mjd = mujoco.MjData(mjm)
+  # settle the box onto the plate under MuJoCo dynamics
+  for _ in range(500):
+    mujoco.mj_step(mjm, mjd)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel))
+  d = fwd.forward(m, d)
+  ours = np.asarray(sensors.sensordata(m, d))
+  want = mjd.sensordata.copy()
+
+  # at rest the plate's interface force carries plate + box weight
+  total_w = 9.81 * (0.3 + 0.2)
+  assert abs(want[2] + total_w) < 0.05 or abs(want[2] - total_w) < 0.05
+  np.testing.assert_allclose(ours, want, atol=0.02,
+                             err_msg=str(list(zip(ours, want))))
+
+
+def test_contact_forces_weight_balance():
+  """Decoded contact forces (constraint.contact_forces) support the
+  resting box's weight."""
+  from mujoco_mpc_tpu.physics import constraint
+
+  mjm = mujoco.MjModel.from_xml_string(FORCE_XML)
+  mjd = mujoco.MjData(mjm)
+  for _ in range(500):
+    mujoco.mj_step(mjm, mjd)
+
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel))
+  d = fwd.forward(m, d)
+  cf = constraint.contact_forces(m, d)
+  assert cf is not None
+  fw = np.einsum('prx,pr->px', np.asarray(cf.frame),
+                 np.asarray(cf.force6[:, :3]))
+  # total vertical contact force on the box equals its weight
+  box_body = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_BODY, 'box')
+  up = 0.0
+  for i in range(fw.shape[0]):
+    if cf.b2[i] == box_body:
+      up += fw[i, 2]
+    elif cf.b1[i] == box_body:
+      up -= fw[i, 2]
+  assert abs(up - 9.81 * 0.2) < 0.02, up
