@@ -96,6 +96,7 @@ class App:
     self._steps = 0
     self._plan_iterations = 0
     self._state_lock = threading.Lock()
+    self._record_plots = False   # set when the control panel is attached
 
   # -- plan thread (reference Agent::Plan, agent.cc:318-329) ---------------
   def _plan_loop(self):
@@ -135,6 +136,10 @@ class App:
             self.agent.step()
           if self._est_state is not None:
             self._estimator_update()
+          # live plot traces for the control panel, rate-limited: each
+          # record is a device->host readback (~ms over the TPU tunnel)
+          if self._record_plots and self._steps % 5 == 0:
+            self.agent.record_plots()
         self._steps += 1
         sim_time += dt
       # real-time sync (app.cc:306-362): sleep until wall clock catches up
@@ -160,11 +165,14 @@ class App:
     return (np.asarray(s.qpos), np.asarray(s.qvel)) if s is not None else None
 
   def run(self, duration: float = 5.0, render: bool = False,
-          serve_port: Optional[int] = None):
+          serve_port: Optional[int] = None,
+          ui_port: Optional[int] = None):
     """Run plan+physics loops for `duration` sim seconds.
 
     serve_port: also expose the agent over gRPC from inside the running
-    app (reference: ui_agent_server — async planning, shared agent)."""
+    app (reference: ui_agent_server — async planning, shared agent).
+    ui_port: serve the live browser control panel (mujoco_mpc_tpu.ui —
+    the interactive-GUI surface: sliders, modes, live plots)."""
     # warm start: run (and compile) one plan iteration before the loops
     # begin so physics always acts on a valid plan and the async loops run
     # at steady-state rates from the first step
@@ -184,6 +192,14 @@ class App:
       server, self.serve_port = service.serve(
           [agent_service.handlers(svc)], port=serve_port)
 
+    panel = None
+    if ui_port is not None:
+      from mujoco_mpc_tpu import ui
+      self._record_plots = True
+      panel = ui.ControlPanel(self, port=ui_port).start()
+      self.ui_port = panel.port
+      print(f'control panel: http://127.0.0.1:{panel.port}/')
+
     if render:
       self._render_loop(phys_thread)
     phys_thread.join()
@@ -191,6 +207,8 @@ class App:
     plan_thread.join(timeout=5.0)
     if server is not None:
       server.stop(grace=0.5)
+    if panel is not None:
+      panel.stop()
     return self.metrics()
 
   # -- render (main thread; reference sim->RenderLoop) ---------------------
@@ -240,14 +258,26 @@ def main(argv=None):
   parser.add_argument('--serve_port', type=int, default=None,
                       help='also serve the agent gRPC API from inside the '
                            'running app (reference: ui_agent_server)')
+  parser.add_argument('--ui_port', type=int, default=None,
+                      help='serve the live browser control panel (sliders, '
+                           'modes, live plots; reference: simulate GUI)')
+  parser.add_argument('--platform', default=None,
+                      help="JAX platform override (e.g. 'cpu'): applied "
+                           'via jax.config before first backend use, which '
+                           'is honored even where the JAX_PLATFORMS env '
+                           'var is not')
   args = parser.parse_args(argv)
+
+  if args.platform:
+    import jax
+    jax.config.update('jax_platforms', args.platform)
 
   app = App(args.task, planner_id=args.planner, num_samples=args.samples,
             percent_realtime=args.percent_realtime,
             ctrl_noise_std=args.ctrl_noise_std, estimator=args.estimator,
             sensor_noise_std=args.sensor_noise_std)
   metrics = app.run(duration=args.duration, render=args.render,
-                    serve_port=args.serve_port)
+                    serve_port=args.serve_port, ui_port=args.ui_port)
   plan_mean = metrics['timers'].get('plan_iteration', {}).get('mean_s', 0)
   print(f"steps={metrics['steps']} plans={metrics['plan_iterations']} "
         f"plan_mean_s={plan_mean:.4f}")

@@ -19,10 +19,13 @@ class PhaseTimers:
   """Accumulates wall time per named phase; thread-safe enough for the
   plan/act loops (GIL-serialized float adds)."""
 
-  def __init__(self):
+  def __init__(self, window: int = 128):
     self.total: Dict[str, float] = collections.defaultdict(float)
     self.count: Dict[str, int] = collections.defaultdict(int)
     self.last: Dict[str, float] = {}
+    # bounded recent-sample window for robust latency percentiles
+    self.recent: Dict[str, collections.deque] = collections.defaultdict(
+        lambda: collections.deque(maxlen=window))
 
   @contextlib.contextmanager
   def phase(self, name: str):
@@ -34,16 +37,23 @@ class PhaseTimers:
       self.total[name] += dt
       self.count[name] += 1
       self.last[name] = dt
+      self.recent[name].append(dt)
 
   def mean(self, name: str) -> float:
     c = self.count.get(name, 0)
     return self.total[name] / c if c else 0.0
 
+  def p50(self, name: str) -> float:
+    r = sorted(self.recent.get(name, ()))
+    return r[len(r) // 2] if r else 0.0
+
   def snapshot(self) -> Dict[str, Dict[str, float]]:
-    """Metrics dict (the plot-surface analog): per phase total/mean/last."""
+    """Metrics dict (the plot-surface analog): per phase
+    total/mean/last/p50-over-recent-window."""
     return {
         name: {'total_s': self.total[name], 'count': self.count[name],
-               'mean_s': self.mean(name), 'last_s': self.last.get(name, 0.0)}
+               'mean_s': self.mean(name), 'last_s': self.last.get(name, 0.0),
+               'p50_s': self.p50(name)}
         for name in self.total
     }
 
