@@ -222,7 +222,7 @@ class Agent:
 
   # -- reference Agent::SetState -------------------------------------------
   def set_state(self, qpos=None, qvel=None, time=None, act=None,
-                mocap_pos=None, ctrl=None):
+                mocap_pos=None, ctrl=None, xfrc_applied=None):
     d = self.sim_data
     updates = {}
     if qpos is not None:
@@ -238,6 +238,10 @@ class Agent:
       updates['mocap_pos'] = jnp.asarray(mocap_pos, dtype=d.qpos.dtype)
     if ctrl is not None:
       updates['ctrl'] = jnp.asarray(ctrl, dtype=d.qpos.dtype)
+    if xfrc_applied is not None:
+      # GUI drag perturbations (reference: simulate's perturb wrench)
+      updates['xfrc_applied'] = jnp.asarray(xfrc_applied,
+                                            dtype=d.qpos.dtype)
     self.sim_data = d.replace(**updates)
 
   # -- reference Agent::PlanIteration --------------------------------------

@@ -221,6 +221,7 @@ class App:
     mjm = self.spec.mj_model
     mjd = mujoco.MjData(mjm)
     with mujoco.viewer.launch_passive(mjm, mjd) as viewer:
+      perturb_was_active = False
       while viewer.is_running() and phys_thread.is_alive():
         with self._state_lock:
           qpos = np.asarray(self.agent.sim_data.qpos)
@@ -229,6 +230,18 @@ class App:
         if mjm.nmocap:
           mjd.mocap_pos[:] = mocap
         mujoco.mj_forward(mjm, mjd)
+        # drag perturbation: apply the viewer's perturb wrench to the
+        # live sim state (reference: simulate.cc perturbation UI)
+        pert = getattr(viewer, 'perturb', None)
+        if pert is not None:
+          active = pert.select > 0 and pert.active
+          if active or perturb_was_active:
+            mjd.xfrc_applied[:] = 0.0
+            if active:
+              mujoco.mjv_applyPerturbForce(mjm, mjd, pert)
+            with self._state_lock:
+              self.agent.set_state(xfrc_applied=mjd.xfrc_applied.copy())
+          perturb_was_active = active
         viewer.sync()
         time.sleep(1.0 / 60.0)
 

@@ -384,6 +384,93 @@ def _mesh_mesh(m: Model, d: Data, g1, g2):
   return pts
 
 
+def _hfield_surface(m: Model, g1: int, lx, ly):
+  """Triangulated height-field surface under local (x, y).
+
+  The elevation grid spans [-sx, sx] x [-sy, sy] with heights
+  grid * z_top (MuJoCo hfield convention: normalized data in [0, 1],
+  size = (rx, ry, z_top, z_bottom)). Each cell splits into two triangles
+  along the (0,0)-(1,1) diagonal; returns (surface z, unit normal in
+  hfield frame, inside-extent flag)."""
+  grid, size = m.geom_hfield[g1]
+  nrow, ncol = grid.shape
+  dtype = lx.dtype
+  dx = 2.0 * size[0] / (ncol - 1)
+  dy = 2.0 * size[1] / (nrow - 1)
+  fx = (lx + size[0]) / dx
+  fy = (ly + size[1]) / dy
+  i = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, ncol - 2)
+  j = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, nrow - 2)
+  u = jnp.clip(fx - i, 0.0, 1.0)
+  v = jnp.clip(fy - j, 0.0, 1.0)
+  z00 = grid[j, i] * size[2]
+  z10 = grid[j, i + 1] * size[2]
+  z01 = grid[j + 1, i] * size[2]
+  z11 = grid[j + 1, i + 1] * size[2]
+  # lower triangle (u >= v): (00, 10, 11); upper: (00, 11, 01)
+  lower = u >= v
+  # plane z = z00 + a*u + b*v over the unit cell, per triangle
+  a = jnp.where(lower, z10 - z00, z11 - z01)
+  b = jnp.where(lower, z11 - z10, z01 - z00)
+  z = z00 + a * u + b * v
+  # unnormalized normal of the triangle plane: (-a/dx, -b/dy, 1)
+  n = jnp.stack([-a / dx, -b / dy, jnp.ones((), dtype) + 0 * a])
+  n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+  inside = jnp.logical_and(jnp.abs(lx) <= size[0] + dx,
+                           jnp.abs(ly) <= size[1] + dy)
+  return z, n, inside
+
+
+def _hfield_point(m: Model, d: Data, g1: int, c_world, r):
+  """Contact of a sphere (center, radius; r=0 for a point) with an
+  hfield. Piecewise-planar: the contact plane is the triangle under the
+  point's footprint — exact for terrain-scale cells vs foot-scale
+  spheres (the quadruped hill regime)."""
+  p1, m1 = d.geom_xpos[g1], d.geom_xmat[g1]
+  lc = m1.T @ (c_world - p1)
+  z, n, inside = _hfield_surface(m, g1, lc[0], lc[1])
+  p_surf = jnp.stack([lc[0], lc[1], z])
+  dist = jnp.dot(n, lc - p_surf) - r
+  dist = jnp.where(inside, dist, jnp.asarray(_BIG, dist.dtype))
+  n_w = m1 @ n
+  pos = c_world - n_w * (r + 0.5 * dist)
+  return ContactPoint(dist=dist, pos=pos, normal=n_w)
+
+
+def _hfield_collide(m: Model, d: Data, g1: int, g2: int):
+  """hfield vs sphere / capsule / box (point-sampled narrowphase)."""
+  t2 = m.geom_type[g2]
+  p2, m2 = d.geom_xpos[g2], d.geom_xmat[g2]
+  s2 = m.geom_size[g2]
+  if t2 == GeomType.SPHERE:
+    return [_hfield_point(m, d, g1, p2, s2[0])]
+  if t2 == GeomType.CAPSULE:
+    axis, half = m2[:, 2], s2[1]
+    return [_hfield_point(m, d, g1, p2 + half * axis, s2[0]),
+            _hfield_point(m, d, g1, p2 - half * axis, s2[0])]
+  if t2 == GeomType.ELLIPSOID:
+    return [_hfield_point(m, d, g1, p2, jnp.min(s2))]
+  if t2 == GeomType.BOX:
+    pts = []
+    for sx in (-1, 1):
+      for sy in (-1, 1):
+        for sz in (-1, 1):
+          corner = p2 + m2 @ (s2 * jnp.asarray([sx, sy, sz], s2.dtype))
+          pts.append(_hfield_point(m, d, g1, corner, 0.0))
+    # keep the 4 deepest corners (a resting box touches one face)
+    dists = jnp.stack([p.dist for p in pts])
+    order = jnp.argsort(dists)
+    out = []
+    for k in range(4):
+      idx = order[k]
+      out.append(ContactPoint(
+          dist=dists[idx],
+          pos=jnp.stack([p.pos for p in pts])[idx],
+          normal=jnp.stack([p.normal for p in pts])[idx]))
+    return out
+  return []
+
+
 def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
   """Candidate contacts for one geom pair; normal from g1 towards g2."""
   t1, t2 = m.geom_type[g1], m.geom_type[g2]
@@ -407,6 +494,8 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
     if t2 == GeomType.MESH:
       return _plane_mesh(m, d, p1, pn, g2)
     return []
+  if t1 == GeomType.HFIELD:
+    return _hfield_collide(m, d, g1, g2)
   if t1 == GeomType.SPHERE:
     if t2 == GeomType.SPHERE:
       return _sphere_sphere(p1, s1[0], p2, s2[0])

@@ -630,13 +630,19 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
 
 
 def load_model(xml_path: str = None, xml_string: str = None,
-               dtype=jnp.float32) -> Tuple[Model, Any]:
-  """Load MJCF from path or string. Returns (Model, mujoco.MjModel)."""
+               dtype=jnp.float32, mj_patch=None) -> Tuple[Model, Any]:
+  """Load MJCF from path or string. Returns (Model, mujoco.MjModel).
+
+  mj_patch: optional callable applied to the mujoco.MjModel before
+  compilation to Model (e.g. filling procedural hfield_data that MJCF
+  can only source from image files)."""
   import mujoco
   if xml_string is not None:
     mj = mujoco.MjModel.from_xml_string(xml_string)
   else:
     mj = mujoco.MjModel.from_xml_path(xml_path)
+  if mj_patch is not None:
+    mj_patch(mj)
   return put_model(mj, dtype=dtype), mj
 
 

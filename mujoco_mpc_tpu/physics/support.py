@@ -196,6 +196,14 @@ def ground_height(m: Model, d: Data, pos: jax.Array) -> jax.Array:
       tmax = jnp.min(jnp.maximum(t1, t2))
       hit = jnp.logical_and(tmax >= tmin, tmax > 0)
       dist = jnp.where(hit, jnp.maximum(tmin, 0.0), big)
+    elif gtype == 1:    # height field: piecewise-planar surface sample
+      from mujoco_mpc_tpu.physics import collision
+      lc = gmat.T @ (origin - gpos)
+      z, _, inside = collision._hfield_surface(m, g, lc[0], lc[1])
+      # vertical ray down from origin: hit at local z (hfield frames in
+      # practice are axis-aligned; general tilts fall back to the z-axis
+      # approximation)
+      dist = jnp.where(inside, lc[2] - z, big)
     else:
       continue
     dists.append(jnp.asarray(dist, dtype=dtype))

@@ -47,16 +47,19 @@ def get_task(name: str) -> base.TaskSpec:
 
 def _build(name: str, xml: str, residual_fn, transition_fn=None,
            dtype=jnp.float32, xml_string: str = None,
-           xml_path: str = None, state_params=()) -> base.TaskSpec:
+           xml_path: str = None, state_params=(),
+           mj_patch=None) -> base.TaskSpec:
   """Assemble a TaskSpec from an MJCF file + residual function.
 
   xml: filename relative to the built-in models dir; xml_path: absolute
-  path (e.g. a staged reference task.xml); xml_string: inline MJCF."""
+  path (e.g. a staged reference task.xml); xml_string: inline MJCF;
+  mj_patch: applied to the MjModel before compile (procedural hfields)."""
   if xml_string is not None:
-    model, mjm = load_model(xml_string=xml_string, dtype=dtype)
+    model, mjm = load_model(xml_string=xml_string, dtype=dtype,
+                            mj_patch=mj_patch)
   else:
     path = xml_path or os.path.join(_MODELS_DIR, xml)
-    model, mjm = load_model(path, dtype=dtype)
+    model, mjm = load_model(path, dtype=dtype, mj_patch=mj_patch)
   (term_names, norm_types, term_dims, weights, norm_params,
    weight_ranges) = base.parse_user_sensors(mjm)
   config = base.parse_custom_numerics(mjm)
@@ -300,33 +303,56 @@ _QUAD_FOOT_RADIUS = 0.025
 _QUAD_HEIGHT_GOAL = 0.33
 
 
+def _fractal_terrain(n: int = 33, octaves: int = 4,
+                     seed: int = 7) -> np.ndarray:
+  """Procedural fractal-noise elevation grid in [0, 1] (the reference
+  hill terrain is a fractal-noise PNG hfield, task_hill.xml asset
+  fractal.xml: hfield size 5 5 1 2)."""
+  rng = np.random.RandomState(seed)
+  out = np.zeros((n, n))
+  amp = 1.0
+  for o in range(octaves):
+    k = 2 ** (o + 2) + 1
+    coarse = rng.rand(k, k)
+    x = np.linspace(0, k - 1, n)
+    i = np.clip(np.floor(x).astype(int), 0, k - 2)
+    t = x - i
+    rows = coarse[:, i] * (1 - t) + coarse[:, i + 1] * t          # (k, n)
+    vals = (rows[i, :] * (1 - t)[:, None]
+            + rows[i + 1, :] * t[:, None])                        # (n, n)
+    out += amp * vals
+    amp *= 0.5
+  out -= out.min()
+  out /= max(float(np.ptp(out)), 1e-9)
+  # flatten the center so the home stance starts on level ground
+  cx = np.linspace(-1, 1, n)
+  r2 = cx[None, :] ** 2 + cx[:, None] ** 2
+  out *= np.clip((r2 - 0.02) / 0.1, 0.0, 1.0)
+  return out
+
+
 def _quadruped_hill_xml() -> str:
-  """Rough-terrain quadruped MJCF: the flat model plus fixed box steps
-  (reference QuadrupedHill uses a heightfield, task_hill.xml; box steps
-  give the same capability on the primitive-collider pipeline)."""
+  """Rough-terrain quadruped MJCF: the flat model over a fractal-noise
+  heightfield (reference QuadrupedHill, task_hill.xml + assets/
+  fractal.xml); elevations are filled procedurally via mj_patch since
+  MJCF only sources hfield data from image files."""
   with open(os.path.join(_MODELS_DIR, 'quadruped.xml')) as f:
     xml = f.read()
-  rng = np.random.RandomState(7)
-  boxes = []
-  for i in range(12):
-    x = float(rng.uniform(0.8, 3.2))
-    y = float(rng.uniform(-2.0, 2.0))
-    h = float(rng.uniform(0.02, 0.07))
-    sx = float(rng.uniform(0.15, 0.4))
-    sy = float(rng.uniform(0.15, 0.4))
-    yaw = float(rng.uniform(0, 180))
-    boxes.append(
-        f'    <geom name="step{i}" type="box" pos="{x:.3f} {y:.3f} {h:.3f}"'
-        f' size="{sx:.3f} {sy:.3f} {h:.3f}" euler="0 0 {yaw:.1f}"'
-        f' friction="1.0" contype="1" conaffinity="2"/>')
-  terrain = '\n'.join(boxes)
-  return xml.replace('<mujoco model="Quadruped">',
-                     '<mujoco model="Quadruped Hill">').replace(
-      '  </worldbody>', terrain + '\n  </worldbody>')
+  asset = ('  <asset>\n    <hfield name="terrain" nrow="33" ncol="33"'
+           ' size="4 4 0.22 0.4"/>\n  </asset>\n')
+  terrain = ('    <geom name="terrain" type="hfield" hfield="terrain"'
+             ' friction="1.0" contype="1" conaffinity="2"/>')
+  xml = xml.replace('<mujoco model="Quadruped">',
+                    '<mujoco model="Quadruped Hill">\n' + asset)
+  return xml.replace('  </worldbody>', terrain + '\n  </worldbody>')
 
 
-def _make_quadruped(name: str, xml: str, xml_string: str = None
-                    ) -> base.TaskSpec:
+def _hill_patch(mj) -> None:
+  mj.hfield_data[:] = _fractal_terrain().ravel()
+
+
+def _make_quadruped(name: str, xml: str, xml_string: str = None,
+                    mj_patch=None) -> base.TaskSpec:
   """Quadruped locomotion with the reference's full mode set
   (mjpc/tasks/quadruped/quadruped.{h,cc}): modes Quadruped / Biped / Walk /
   Scramble / Flip (quadruped.h:40-47), speed-based automatic gait
@@ -336,7 +362,7 @@ def _make_quadruped(name: str, xml: str, xml_string: str = None
   (timers, filters, orientation snapshots) lives in hidden residual-param
   slots updated by the pure transition function."""
   if xml_string is not None:
-    spec_model, _ = load_model(xml_string=xml_string)
+    spec_model, _ = load_model(xml_string=xml_string, mj_patch=mj_patch)
   else:
     spec_model, _ = load_model(os.path.join(_MODELS_DIR, xml))
   torso = spec_model.site('torso_site')
@@ -654,6 +680,7 @@ def _make_quadruped(name: str, xml: str, xml_string: str = None
             params.replace(residual_params=rp, weights=w))
 
   spec = _build(name, xml, residual, transition, xml_string=xml_string,
+                mj_patch=mj_patch,
                 state_params=[
                     ('_mode_start', 0.0), ('_flip_quat_w', 1.0),
                     ('_flip_quat_x', 0.0), ('_flip_quat_y', 0.0),
@@ -680,9 +707,10 @@ def _quadruped_flat() -> base.TaskSpec:
 @register('Quadruped Hill')
 def _quadruped_hill() -> base.TaskSpec:
   # rough-terrain variant (reference: QuadrupedHill, task_hill.xml) —
-  # same residual machinery over a terrain of fixed box obstacles.
+  # same residual machinery over a fractal-noise heightfield.
   return _make_quadruped('Quadruped Hill', 'quadruped.xml',
-                         xml_string=_quadruped_hill_xml())
+                         xml_string=_quadruped_hill_xml(),
+                         mj_patch=_hill_patch)
 
 
 # ---------------------------------------------------------------------------
