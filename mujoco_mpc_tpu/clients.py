@@ -26,13 +26,17 @@ from mujoco_mpc_tpu.rpc.service import ClientStub
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _spawn_server(services: str):
+def _spawn_server(services: str, platform: Optional[str] = None):
   env = dict(os.environ)
   env.setdefault('PYTHONPATH', _REPO_ROOT)
+  cmd = [sys.executable, '-m', 'mujoco_mpc_tpu.rpc.server', '--port', '0',
+         '--services', services]
+  if platform or env.get('MTPU_PLATFORM'):
+    # pin the server's JAX backend (tests force cpu so a down TPU
+    # tunnel can't hang the subprocess at backend init)
+    cmd += ['--platform', platform or env['MTPU_PLATFORM']]
   proc = subprocess.Popen(
-      [sys.executable, '-m', 'mujoco_mpc_tpu.rpc.server', '--port', '0',
-       '--services', services],
-      stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+      cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
       cwd=_REPO_ROOT, env=env)
   # wait for the ready line with the bound port
   for line in proc.stdout:
@@ -46,10 +50,11 @@ def _spawn_server(services: str):
 class _BaseClient:
   _SERVICES = 'agent,filter,direct'
 
-  def __init__(self, address: Optional[str] = None):
+  def __init__(self, address: Optional[str] = None,
+               platform: Optional[str] = None):
     self._proc = None
     if address is None:
-      self._proc, port = _spawn_server(self._SERVICES)
+      self._proc, port = _spawn_server(self._SERVICES, platform)
       address = f'localhost:{port}'
     self.channel = grpc.insecure_channel(address)
     grpc.channel_ready_future(self.channel).result(timeout=30)

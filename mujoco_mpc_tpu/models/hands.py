@@ -42,9 +42,28 @@ def _digit_actuators(name: str) -> str:
     <position name="{name}_dip_m" joint="{name}_dip" ctrlrange="0 1.57"/>"""
 
 
+def _chamfered_cube_vertices(s: float, c: float) -> str:
+  """Corner-truncated cube vertex list (24 verts): each corner of the
+  box [-s, s]^3 is cut by insetting one coordinate by the chamfer c —
+  the generated-mesh analog of the reference's rounded cube asset
+  (mjpc/tasks/shadow_reorient model meshes)."""
+  verts = []
+  for sx in (-1, 1):
+    for sy in (-1, 1):
+      for sz in (-1, 1):
+        verts.append((sx * (s - c), sy * s, sz * s))
+        verts.append((sx * s, sy * (s - c), sz * s))
+        verts.append((sx * s, sy * s, sz * (s - c)))
+  return ' '.join(f'{x:.5f} {y:.5f} {z:.5f}' for x, y, z in verts)
+
+
 def hand_xml(model_name: str, n_fingers: int, cube_size: float = 0.03,
-             extra_custom: str = '', sensors: str = None) -> str:
-  """Palm-up hand with n_fingers digits + thumb, free cube above the palm."""
+             extra_custom: str = '', sensors: str = None,
+             mesh_cube: bool = False) -> str:
+  """Palm-up hand with n_fingers digits + thumb, free cube above the palm.
+
+  mesh_cube=True swaps the box cube for a chamfered-cube mesh asset so
+  the task exercises the convex mesh-hull collision path end-to-end."""
   finger_span = 0.075
   digits, acts = [], []
   for i in range(n_fingers):
@@ -64,10 +83,23 @@ def hand_xml(model_name: str, n_fingers: int, cube_size: float = 0.03,
     <user name="Cube Velocity" dim="6" user="0 0.3 0.0 1.0"/>
     <user name="Actuation" dim="{nu}" user="0 0.1 0.0 1.0"/>"""
 
+  if mesh_cube:
+    chamfer = cube_size * 0.25
+    asset = (f'\n  <asset>\n    <mesh name="cube_mesh" vertex='
+             f'"{_chamfered_cube_vertices(cube_size, chamfer)}"/>\n'
+             '  </asset>\n')
+    cube_geom = ('<geom name="cube_geom" type="mesh" mesh="cube_mesh" '
+                 'mass="0.07" friction="1.0" contype="2" conaffinity="3"/>')
+  else:
+    asset = ''
+    cube_geom = (f'<geom name="cube_geom" type="box" size="{cube_size} '
+                 f'{cube_size} {cube_size}" mass="0.07" friction="1.0" '
+                 'contype="2" conaffinity="3"/>')
+
   return f"""<mujoco model="{model_name}">
   <!-- Original dexterous hand (generated, models/hands.py): capability
        parity with the reference hand tasks on an original model. -->
-  <option timestep="0.004" gravity="0 0 -9.81" iterations="8"/>
+  <option timestep="0.004" gravity="0 0 -9.81" iterations="8"/>{asset}
 
   <custom>
     <numeric name="agent_planner" data="0"/>
@@ -95,9 +127,7 @@ def hand_xml(model_name: str, n_fingers: int, cube_size: float = 0.03,
 
     <body name="cube" pos="0 0 {cube_size + 0.035:.4f}">
       <freejoint name="cube_root"/>
-      <geom name="cube_geom" type="box"
-            size="{cube_size} {cube_size} {cube_size}" mass="0.07"
-            friction="1.0" contype="2" conaffinity="3"/>
+      {cube_geom}
       <site name="cube_site" pos="0 0 0"/>
     </body>
 

@@ -7,8 +7,11 @@ narrowphase emits a FIXED number of candidate contact points per pair —
 inactive points are masked by distance, so shapes are static and the whole
 stage vmaps over rollout batches.
 
-Supported primitive pairs (round 1): plane-{sphere, capsule, box},
-sphere-{sphere, capsule, box}, capsule-capsule. Contact frames follow
+Supported pairs: every combination of plane / hfield / sphere / capsule /
+ellipsoid / cylinder / box / mesh-hull. Exact closed forms where they
+exist (plane-*, sphere-{sphere,capsule,cylinder,box}, capsule-{capsule,
+cylinder,box}, box-box SAT); the remaining convex pairs go through
+compile-time tessellated hulls (model.put_model). Contact frames follow
 mju_makeFrame's tangent construction; parameter combination (friction max,
 solref/solimp solmix average, priority override) follows mj_contactParam.
 Golden-tested against mujoco in tests/test_contacts.py.
@@ -296,6 +299,79 @@ def _plane_cylinder(pp, pn, c, mat, size):
   return pts
 
 
+def _plane_ellipsoid(pp, pn, c, mat, size):
+  """Plane vs ellipsoid: exact support point (replaces the round-1
+  inner-sphere approximation). The ellipsoid point extremal along -n is
+  c - mat (s^2 nl) / sqrt(nl . s^2 nl) with nl = mat^T n (the standard
+  ellipsoid support map; MuJoCo reaches it through its convex collider,
+  engine_collision_convex.c)."""
+  nl = mat.T @ pn
+  s2nl = size * size * nl
+  denom = jnp.sqrt(jnp.maximum(jnp.dot(nl, s2nl), 1e-18))
+  deep = c - mat @ (s2nl / denom)
+  dist = jnp.dot(pn, deep - pp)
+  return [ContactPoint(dist, deep - 0.5 * dist * pn, pn)]
+
+
+def _sphere_cylinder(c, r, cc, cmat, csize):
+  """Sphere vs cylinder, exact closed form: side / end-disc / rim
+  regions outside, least-depth exit direction when the center is inside
+  (MuJoCo resolves this pair with its generic convex collider)."""
+  dtype = c.dtype
+  rad_c, half = csize[0], csize[1]
+  local = cmat.T @ (c - cc)
+  rho = jnp.linalg.norm(local[:2])
+  radial = jnp.where(rho > 1e-9,
+                     local[:2] / jnp.maximum(rho, 1e-12),
+                     jnp.array([1.0, 0.0], dtype))
+  za = local[2]
+  outside = jnp.logical_or(rho > rad_c, jnp.abs(za) > half)
+  # outside: closest point of the solid cylinder (rim handled by the
+  # two clamps jointly)
+  q_out = jnp.concatenate([jnp.minimum(rho, rad_c) * radial,
+                           jnp.clip(za, -half, half)[None]])
+  delta = local - q_out
+  ln = jnp.linalg.norm(delta)
+  n_out = delta / jnp.maximum(ln, 1e-12)
+  d_out = ln - r
+  # inside: exit through the nearer of side wall / end disc
+  side = (rad_c - rho) < (half - jnp.abs(za))
+  zsgn = jnp.where(za >= 0, 1.0, -1.0).astype(dtype)
+  n_in = jnp.where(side,
+                   jnp.concatenate([radial, jnp.zeros(1, dtype)]),
+                   jnp.array([0.0, 0.0, 1.0], dtype) * zsgn)
+  q_in = jnp.where(side,
+                   jnp.concatenate([rad_c * radial, za[None]]),
+                   jnp.concatenate([rho * radial, (zsgn * half)[None]]))
+  d_in = jnp.where(side, rho - rad_c, jnp.abs(za) - half) - r
+  n_l = jnp.where(outside, n_out, n_in)
+  q_l = jnp.where(outside, q_out, q_in)
+  dist = jnp.where(outside, d_out, d_in)
+  n_w = cmat @ n_l                    # cylinder -> sphere
+  pos = cc + cmat @ q_l + 0.5 * dist * n_w
+  # orient g1(sphere) -> g2(cylinder)
+  return [ContactPoint(dist, pos, -n_w)]
+
+
+def _capsule_box(c, axis, half, r, bc, bmat, bsize):
+  """Capsule vs box: closest segment point by alternating projection
+  (both sets convex; 8 fixed iterations) plus the two end spheres —
+  mid-segment edge contacts resolve exactly, replacing the round-1
+  end-sphere-only approximation."""
+  t = jnp.zeros((), c.dtype)
+  for _ in range(8):
+    p = c + t * axis
+    local = jnp.clip(bmat.T @ (p - bc), -bsize, bsize)
+    q = bc + bmat @ local
+    t = jnp.clip(jnp.dot(q - c, axis), -half, half)
+  pts = []
+  for pt in (c + t * axis, c - half * axis, c + half * axis):
+    sub = _sphere_box(pt, r, bc, bmat, bsize)
+    # _sphere_box normal points box->sphere = g2->g1; flip
+    pts.extend(ContactPoint(x.dist, x.pos, -x.normal) for x in sub)
+  return pts
+
+
 def _points_vs_halfspaces(world_pts, face_n, face_b, k=4):
   """Depth of world points against world halfspaces (n.x + b, <= 0
   inside); emit the k deepest as contacts with the argmax-face normal.
@@ -373,6 +449,38 @@ def _box_mesh(m: Model, d: Data, g1, g2):
   return pts
 
 
+def _cylinder_axis_contact(p1, m1, s1, p2, m2, s2):
+  """Crossed-cylinder side-side contact from the closest points of the
+  two axes: exact when both closest points are interior to their
+  segments and the common perpendicular is near-orthogonal to both axes
+  (the side-surface region) — the edge-edge case the vertex-vs-face hull
+  manifold misses. Masked (big dist) outside that region, where the hull
+  contacts are correct."""
+  a1, a2 = m1[:, 2], m2[:, 2]
+  h1, h2 = s1[1], s2[1]
+  r = p1 - p2
+  b = jnp.dot(a1, a2)
+  cdot = jnp.dot(a1, r)
+  f = jnp.dot(a2, r)
+  denom = jnp.maximum(1.0 - b * b, 1e-12)
+  s = jnp.clip((b * f - cdot) / denom, -h1, h1)
+  t = jnp.clip(f + s * b, -h2, h2)
+  s = jnp.clip(t * b - cdot, -h1, h1)
+  q1 = p1 + s * a1
+  q2 = p2 + t * a2
+  diff = q2 - q1
+  ln = jnp.linalg.norm(diff)
+  n = diff / jnp.maximum(ln, 1e-12)                   # g1 -> g2
+  interior = jnp.logical_and(jnp.abs(s) < 0.99 * h1,
+                             jnp.abs(t) < 0.99 * h2)
+  side = jnp.logical_and(jnp.abs(jnp.dot(n, a1)) < 0.3,
+                         jnp.abs(jnp.dot(n, a2)) < 0.3)
+  valid = jnp.logical_and(jnp.logical_and(interior, side), ln > 1e-9)
+  dist = jnp.where(valid, ln - s1[0] - s2[0], 1e9)
+  pos = q1 + n * (s1[0] + 0.5 * (ln - s1[0] - s2[0]))
+  return [ContactPoint(dist, pos, n)]
+
+
 def _mesh_mesh(m: Model, d: Data, g1, g2):
   v1, n1, b1 = _hull_world(m, d, g1)
   v2, n2, b2 = _hull_world(m, d, g2)
@@ -444,7 +552,9 @@ def _hfield_collide(m: Model, d: Data, g1: int, g2: int):
   s2 = m.geom_size[g2]
   if t2 == GeomType.SPHERE:
     return [_hfield_point(m, d, g1, p2, s2[0])]
-  if t2 == GeomType.CAPSULE:
+  if t2 in (GeomType.CAPSULE, GeomType.CYLINDER):
+    # cylinder approximated by end-disc-center spheres on terrain (the
+    # terrain-cell scale dominates the rim offset)
     axis, half = m2[:, 2], s2[1]
     return [_hfield_point(m, d, g1, p2 + half * axis, s2[0]),
             _hfield_point(m, d, g1, p2 - half * axis, s2[0])]
@@ -489,8 +599,7 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
     if t2 == GeomType.CYLINDER:
       return _plane_cylinder(p1, pn, p2, m2, s2)
     if t2 == GeomType.ELLIPSOID:
-      # approximate with bounding sphere (round 1)
-      return _plane_sphere(p1, pn, p2, jnp.min(s2[:2]))
+      return _plane_ellipsoid(p1, pn, p2, m2, s2)
     if t2 == GeomType.MESH:
       return _plane_mesh(m, d, p1, pn, g2)
     return []
@@ -502,6 +611,10 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
     if t2 == GeomType.CAPSULE:
       cp = _closest_on_segment(p1, p2, m2[:, 2], s2[1])
       return _sphere_sphere(p1, s1[0], cp, s2[0])
+    if t2 == GeomType.ELLIPSOID:
+      return _sphere_mesh(m, d, p1, s1[0], g2)   # tessellated hull
+    if t2 == GeomType.CYLINDER:
+      return _sphere_cylinder(p1, s1[0], p2, m2, s2)
     if t2 == GeomType.BOX:
       pts = _sphere_box(p1, s1[0], p2, m2, s2)
       # _sphere_box normal points box->sphere = g2->g1; flip
@@ -519,19 +632,44 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
     if t2 == GeomType.CAPSULE:
       q1, q2 = _segment_closest(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
       return _sphere_sphere(q1, s1[0], q2, s2[0])
-    if t2 == GeomType.BOX:
-      # approximate capsule by its two end spheres (round 1)
-      pts = []
-      for s in (-1.0, 1.0):
-        e = p1 + s * s1[1] * m1[:, 2]
-        sub = _sphere_box(e, s1[0], p2, m2, s2)
-        pts.extend(ContactPoint(c.dist, c.pos, -c.normal) for c in sub)
+    if t2 == GeomType.CYLINDER:
+      # closest segment point vs the exact cylinder, plus both end
+      # spheres (covers capsule-lying-on-disc poses)
+      q1, _ = _segment_closest(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
+      pts = _sphere_cylinder(q1, s1[0], p2, m2, s2)
+      for sgn in (-1.0, 1.0):
+        e = p1 + sgn * s1[1] * m1[:, 2]
+        pts.extend(_sphere_cylinder(e, s1[0], p2, m2, s2))
       return pts
+    if t2 == GeomType.ELLIPSOID:
+      pts = []
+      for sgn in (-1.0, 0.0, 1.0):
+        e = p1 + sgn * s1[1] * m1[:, 2]
+        pts.extend(_sphere_mesh(m, d, e, s1[0], g2))
+      return pts
+    if t2 == GeomType.BOX:
+      return _capsule_box(p1, m1[:, 2], s1[1], s1[0], p2, m2, s2)
     if t2 == GeomType.MESH:
       pts = []
       for sgn in (-1.0, 1.0):
         e = p1 + sgn * s1[1] * m1[:, 2]
         pts.extend(_sphere_mesh(m, d, e, s1[0], g2))
+      return pts
+    return []
+  if t1 in (GeomType.ELLIPSOID, GeomType.CYLINDER):
+    # remaining convex pairs route through the compile-time tessellated
+    # hulls (model.put_model): ellipsoid/cylinder vs {ellipsoid,
+    # cylinder, mesh} = hull-hull; vs box = box-hull with roles swapped
+    if t2 == GeomType.BOX:
+      pts = _box_mesh(m, d, g2, g1)
+      # _box_mesh orients box(g2) -> hull(g1); flip to g1 -> g2
+      return [ContactPoint(c.dist, c.pos, -c.normal) for c in pts]
+    if t2 in (GeomType.ELLIPSOID, GeomType.CYLINDER, GeomType.MESH):
+      pts = _mesh_mesh(m, d, g1, g2)
+      if t1 == GeomType.CYLINDER and t2 == GeomType.CYLINDER:
+        # the vertex-vs-face hull manifold misses the crossed side-side
+        # (edge-edge) region; add the exact axis-axis contact there
+        pts += _cylinder_axis_contact(p1, m1, s1, p2, m2, s2)
       return pts
     return []
   return []

@@ -162,17 +162,17 @@ def _tendon_limit_rows(m: Model, d: Data) -> Rows | None:
     return None
   dtype = d.qpos.dtype
   js, poss, margins, arefs, ds, actives = [], [], [], [], [], []
-  length = m.ten_qmat @ d.qpos
-  vel_all = m.ten_moment @ d.qvel
+  length = d.ten_length
+  vel_all = d.ten_velocity
   for ti in limited:
     for side in (0, 1):
       if side == 0:
         pos = length[ti] - m.tendon_range[ti, 0]
-        jac = m.ten_moment[ti]
+        jac = d.ten_J[ti]
         v = vel_all[ti]
       else:
         pos = m.tendon_range[ti, 1] - length[ti]
-        jac = -m.ten_moment[ti]
+        jac = -d.ten_J[ti]
         v = -vel_all[ti]
       pos = pos - m.tendon_margin[ti]
       k, b, imp = kbi(m.tendon_solref_lim[ti], m.tendon_solimp_lim[ti], pos)
@@ -347,8 +347,9 @@ def _equality_rows(m: Model, d: Data) -> Rows | None:
     elif etype == 3:  # tendon coupling: L1 - L1_0 = poly(L2 - L2_0)
       t1_, t2_ = m.eq_obj1id[e], m.eq_obj2id[e]
       poly = data[0:5]
-      length = m.ten_qmat @ d.qpos
-      length0 = m.ten_qmat @ m.qpos0
+      # fixed tendons only (put_model rejects spatial tendons here)
+      length = d.ten_length
+      length0 = m.ten_length0
       if t2_ >= 0:
         dif = length[t2_] - length0[t2_]
         p = (poly[0] + poly[1] * dif + poly[2] * dif ** 2
@@ -356,11 +357,11 @@ def _equality_rows(m: Model, d: Data) -> Rows | None:
         dp = (poly[1] + 2 * poly[2] * dif + 3 * poly[3] * dif ** 2
               + 4 * poly[4] * dif ** 3)
         pos = length[t1_] - length0[t1_] - p
-        jac = m.ten_moment[t1_] - dp * m.ten_moment[t2_]
+        jac = d.ten_J[t1_] - dp * d.ten_J[t2_]
         iw = m.tendon_invweight0[t1_] + m.tendon_invweight0[t2_]
       else:
         pos = length[t1_] - length0[t1_] - poly[0]
-        jac = m.ten_moment[t1_]
+        jac = d.ten_J[t1_]
         iw = m.tendon_invweight0[t1_]
       add(jac, pos, iw, e)
 

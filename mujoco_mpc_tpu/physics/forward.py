@@ -110,8 +110,14 @@ def _euler(m: Model, d: Data) -> Data:
   qacc = _solve_m(qm_h, d.qfrc_smooth + d.qfrc_constraint)
   qvel = d.qvel + h * qacc
   qpos = integrate_pos(m, d.qpos, qvel, h)
-  act = d.act + h * d.act_dot if m.na else d.act
+  act = _clamp_act(m, d.act + h * d.act_dot) if m.na else d.act
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def _clamp_act(m: Model, act: jax.Array) -> jax.Array:
+  """Clip activation states to actrange (mj_advance semantics; the
+  intvelocity actuator's integrated position lives in act)."""
+  return jnp.clip(act, m.act_range[:, 0], m.act_range[:, 1])
 
 
 def _rk4(m: Model, d: Data) -> Data:
@@ -141,7 +147,7 @@ def _rk4(m: Model, d: Data) -> Data:
   act_avg = sum(w * a for w, a in zip(weights, ka))
   qpos = integrate_pos(m, qpos0, qvel_avg, h)
   qvel = qvel0 + h * qacc_avg
-  act = act0 + h * act_avg if m.na else act0
+  act = _clamp_act(m, act0 + h * act_avg) if m.na else act0
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
@@ -171,7 +177,7 @@ def _implicit(m: Model, d: Data) -> Data:
   qacc = jnp.linalg.solve(d.qM - h * deriv, qfrc)
   qvel = d.qvel + h * qacc
   qpos = integrate_pos(m, d.qpos, qvel, h)
-  act = d.act + h * d.act_dot if m.na else d.act
+  act = _clamp_act(m, d.act + h * d.act_dot) if m.na else d.act
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 

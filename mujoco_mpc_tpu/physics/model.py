@@ -135,6 +135,8 @@ class Model:
   geom_type: Tuple[int, ...] = _static(())
   geom_bodyid: Tuple[int, ...] = _static(())
   geom_group: Tuple[int, ...] = _static(())
+  geom_contype: Tuple[int, ...] = _static(())
+  geom_conaffinity: Tuple[int, ...] = _static(())
   geom_condim: Tuple[int, ...] = _static(())
   geom_priority: Tuple[int, ...] = _static(())
   # static candidate collision pairs (geom1, geom2), prefiltered
@@ -152,6 +154,7 @@ class Model:
   actuator_gaintype: Tuple[int, ...] = _static(())
   actuator_biastype: Tuple[int, ...] = _static(())
   actuator_trnid: Tuple[int, ...] = _static(())     # joint/site id per act
+  actuator_refid: Tuple[int, ...] = _static(())     # refsite id or -1
   actuator_actadr: Tuple[int, ...] = _static(())
   actuator_actnum: Tuple[int, ...] = _static(())
   actuator_ctrllimited: Tuple[int, ...] = _static(())
@@ -214,6 +217,8 @@ class Model:
   actuator_biasprm: jax.Array = None  # (nu, k)
   actuator_ctrlrange: jax.Array = None  # (nu, 2)
   actuator_forcerange: jax.Array = None  # (nu, 2)
+  act_range: jax.Array = None           # (na, 2) per-slot clamp, +-big
+                                        # when unlimited (actrange)
 
   # convex-hull data for MESH geoms: geom id -> (hull verts (V, 3),
   # face normals (F, 3), face offsets (F,)), all in the geom frame.
@@ -232,8 +237,12 @@ class Model:
   eq_solref: jax.Array = None       # (neq, 2)
   eq_solimp: jax.Array = None       # (neq, 5)
 
-  ten_moment: jax.Array = None      # (ntendon, nv)
-  ten_qmat: jax.Array = None        # (ntendon, nq)
+  ten_moment: jax.Array = None      # (ntendon, nv) fixed-tendon rows
+  ten_qmat: jax.Array = None        # (ntendon, nq) fixed-tendon rows
+  # spatial tendons: per-tendon static wrap plan, () for fixed tendons,
+  # ((divisor, (site ids...)), ...) branches for spatial ones
+  ten_spatial: Tuple = _static(())
+  ten_length0: jax.Array = None     # (ntendon,) lengths at qpos0
   tendon_stiffness: jax.Array = None    # (ntendon,)
   tendon_damping: jax.Array = None      # (ntendon,)
   tendon_lengthspring: jax.Array = None  # (ntendon, 2) deadband [lo, hi]
@@ -330,6 +339,7 @@ class Data:
   # tendons
   ten_length: jax.Array = None     # (ntendon,)
   ten_velocity: jax.Array = None   # (ntendon,)
+  ten_J: jax.Array = None          # (ntendon, nv) moment/Jacobian rows
 
   # sensors (task-defined residual inputs live here)
   sensordata: jax.Array = None
@@ -444,44 +454,121 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
         g1o, g2o = g1, g2
       pairs.append((g1o, g2o))
 
-  # fixed tendons: constant joint-space maps (mjWRAP_JOINT wraps only)
+  # tendons. Fixed (joint-wrap) tendons are constant joint-space maps;
+  # spatial tendons are site-waypoint paths with optional pulley branch
+  # divisors (mj_tendon semantics) — their static wrap plan is recorded
+  # in ten_spatial as ((divisor, (site ids...)), ...) per branch and the
+  # state-dependent length/Jacobian is computed in smooth.tendon after
+  # kinematics. Geom wrapping (sphere/cylinder wrap surfaces) is not
+  # supported.
   ten_moment = np.zeros((mj.ntendon, mj.nv))
   ten_qmat = np.zeros((mj.ntendon, mj.nq))
+  ten_spatial = []
   for ti in range(mj.ntendon):
     adr, num = int(mj.tendon_adr[ti]), int(mj.tendon_num[ti])
+    wtypes = [int(mj.wrap_type[w]) for w in range(adr, adr + num)]
+    if all(w == int(mujoco.mjtWrap.mjWRAP_JOINT) for w in wtypes):
+      for w in range(adr, adr + num):
+        j = int(mj.wrap_objid[w])
+        coef = float(mj.wrap_prm[w])
+        ten_moment[ti, mj.jnt_dofadr[j]] += coef
+        ten_qmat[ti, mj.jnt_qposadr[j]] += coef
+      ten_spatial.append(())
+      continue
+    branches = []
+    divisor, sites = 1.0, []
     for w in range(adr, adr + num):
-      if int(mj.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT):
+      wt = int(mj.wrap_type[w])
+      if wt == int(mujoco.mjtWrap.mjWRAP_SITE):
+        sites.append(int(mj.wrap_objid[w]))
+      elif wt == int(mujoco.mjtWrap.mjWRAP_PULLEY):
+        if len(sites) >= 2:
+          branches.append((divisor, tuple(sites)))
+        divisor, sites = float(mj.wrap_prm[w]), []
+      else:
         raise NotImplementedError(
-            'only fixed (joint-wrap) tendons are supported; tendon '
-            f'{ti} uses wrap type {int(mj.wrap_type[w])} (spatial)')
-      j = int(mj.wrap_objid[w])
-      coef = float(mj.wrap_prm[w])
-      ten_moment[ti, mj.jnt_dofadr[j]] += coef
-      ten_qmat[ti, mj.jnt_qposadr[j]] += coef
+            f'tendon {ti} uses wrap type {wt} (sphere/cylinder geom '
+            'wrapping); only joint, site and pulley wraps are supported')
+    if len(sites) >= 2:
+      branches.append((divisor, tuple(sites)))
+    ten_spatial.append(tuple(branches))
+  # spatial tendons may not participate in tendon-coupling equalities
+  # (their residual closure evaluates lengths via the constant qmat)
+  for e in range(mj.neq):
+    if int(mj.eq_type[e]) == int(mujoco.mjtEq.mjEQ_TENDON):
+      for tid in (int(mj.eq_obj1id[e]), int(mj.eq_obj2id[e])):
+        if tid >= 0 and ten_spatial[tid]:
+          raise NotImplementedError(
+              f'equality {e} couples spatial tendon {tid}; tendon '
+              'equality constraints support fixed tendons only')
+  # reference lengths at qpos0 (spatial lengths need FK; take them from
+  # the C oracle once at compile time)
+  if mj.ntendon and any(ten_spatial):
+    _d0 = mujoco.MjData(mj)
+    mujoco.mj_forward(mj, _d0)
+    ten_length0 = np.array(_d0.ten_length, dtype=np.float64)
+  else:
+    ten_length0 = ten_qmat @ np.asarray(mj.qpos0, dtype=np.float64)
 
   # convex hulls for mesh geoms (vertex cap keeps narrowphase tensors
-  # small; farthest-point subsampling preserves the silhouette)
+  # small; farthest-point subsampling preserves the silhouette). Cylinder
+  # and ellipsoid geoms also get tessellated hulls so their non-exact
+  # pairs (cyl-box, cyl-cyl, ellipsoid-anything-convex) route through the
+  # generic hull narrowphase (MuJoCo resolves these pairs with its convex
+  # collider, engine_collision_convex.c; here the polyhedral hull is
+  # fixed at compile time so the contact stage stays static-shaped).
   geom_mesh = {}
   for g in range(mj.ngeom):
-    if int(mj.geom_type[g]) == 7:     # mjGEOM_MESH
-      from scipy.spatial import ConvexHull
+    gt = int(mj.geom_type[g])
+    if gt not in (4, 5, 7):   # ELLIPSOID, CYLINDER, MESH
+      continue
+    from scipy.spatial import ConvexHull
+    if gt == 7:               # mjGEOM_MESH
       mid = int(mj.geom_dataid[g])
       va, vn = int(mj.mesh_vertadr[mid]), int(mj.mesh_vertnum[mid])
       verts = np.array(mj.mesh_vert[va:va + vn], dtype=np.float64)
-      hull = ConvexHull(verts)
-      hv = verts[hull.vertices]
-      if hv.shape[0] > 32:
-        keep = [0]
-        d2 = np.sum((hv - hv[0]) ** 2, axis=1)
-        for _ in range(31):
-          k = int(np.argmax(d2))
-          keep.append(k)
-          d2 = np.minimum(d2, np.sum((hv - hv[k]) ** 2, axis=1))
-        hv = hv[sorted(set(keep))]
-      eqs = hull.equations                      # n.x + b <= 0 inside
-      if eqs.shape[0] > 64:
-        eqs = eqs[np.argsort(eqs[:, 3])[:64]]
-      geom_mesh[g] = (f(hv), f(eqs[:, :3]), f(eqs[:, 3]))
+    elif gt == 5:             # CYLINDER: 2 x 16-gon rims (on-surface)
+      r, h = float(mj.geom_size[g, 0]), float(mj.geom_size[g, 1])
+      ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+      rim = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+      verts = np.concatenate([
+          np.concatenate([rim, np.full((16, 1), h)], axis=1),
+          np.concatenate([rim, np.full((16, 1), -h)], axis=1)])
+    else:                     # ELLIPSOID: Fibonacci-sphere sample
+      ga = np.pi * (3.0 - np.sqrt(5.0))
+      k = np.arange(32, dtype=np.float64)
+      z = 1.0 - 2.0 * (k + 0.5) / 32
+      rho = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+      sph = np.stack([rho * np.cos(ga * k), rho * np.sin(ga * k), z],
+                     axis=1)
+      verts = sph * np.asarray(mj.geom_size[g], dtype=np.float64)[None]
+    hull = ConvexHull(verts)
+    hv = verts[hull.vertices]
+    if hv.shape[0] > 32:
+      keep = [0]
+      d2 = np.sum((hv - hv[0]) ** 2, axis=1)
+      for _ in range(31):
+        k = int(np.argmax(d2))
+        keep.append(k)
+        d2 = np.minimum(d2, np.sum((hv - hv[k]) ** 2, axis=1))
+      hv = hv[sorted(set(keep))]
+    eqs = hull.equations                      # n.x + b <= 0 inside
+    if eqs.shape[0] > 64:
+      eqs = eqs[np.argsort(eqs[:, 3])[:64]]
+    face_n, face_b = eqs[:, :3], eqs[:, 3]
+    if gt in (4, 5):
+      # split the tessellation error: faces of the inscribed hull are
+      # pushed to the midpoint between the inscribed plane and the true
+      # surface's support plane along each face normal, so resting depth
+      # error is half the sag in either direction
+      if gt == 4:             # ellipsoid support: ||diag(size) n||
+        sup = np.linalg.norm(face_n * np.asarray(
+            mj.geom_size[g], dtype=np.float64)[None], axis=1)
+      else:                   # cylinder support: r |n_xy| + h |n_z|
+        sup = (r * np.linalg.norm(face_n[:, :2], axis=1)
+               + h * np.abs(face_n[:, 2]))
+      face_b = 0.5 * (face_b - sup)
+    geom_mesh[g] = (f(hv), f(face_n), f(face_b))
 
   # height-field elevation grids (mjGEOM_HFIELD)
   geom_hfield = {}
@@ -494,6 +581,15 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       grid = np.array(mj.hfield_data[adr:adr + nrow * ncol],
                       dtype=np.float64).reshape(nrow, ncol)
       geom_hfield[g] = (f(grid), f(mj.hfield_size[hid]))
+
+  # per-activation-slot clamp range (actrange; mj_advance clips act after
+  # integration for actlimited actuators — intvelocity relies on this)
+  act_range = np.tile(np.array([-1e30, 1e30]), (max(mj.na, 1), 1))[:mj.na]
+  for u in range(mj.nu):
+    if mj.actuator_actlimited[u] and int(mj.actuator_actadr[u]) >= 0:
+      a0 = int(mj.actuator_actadr[u])
+      for k in range(int(mj.actuator_actnum[u])):
+        act_range[a0 + k] = mj.actuator_actrange[u]
 
   opt = Option(
       timestep=f(mj.opt.timestep),
@@ -536,6 +632,8 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       geom_type=tuple(geom_type),
       geom_bodyid=t(mj.geom_bodyid),
       geom_group=t(mj.geom_group),
+      geom_contype=t(mj.geom_contype),
+      geom_conaffinity=t(mj.geom_conaffinity),
       geom_condim=t(mj.geom_condim),
       geom_priority=t(mj.geom_priority),
       collision_pairs=tuple(pairs),
@@ -546,6 +644,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       actuator_gaintype=t(mj.actuator_gaintype),
       actuator_biastype=t(mj.actuator_biastype),
       actuator_trnid=t(mj.actuator_trnid[:, 0]) if mj.nu else (),
+      actuator_refid=t(mj.actuator_trnid[:, 1]) if mj.nu else (),
       actuator_actadr=t(mj.actuator_actadr),
       actuator_actnum=t(mj.actuator_actnum),
       actuator_ctrllimited=t(np.zeros_like(mj.actuator_ctrllimited)
@@ -605,6 +704,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       actuator_biasprm=f(mj.actuator_biasprm),
       actuator_ctrlrange=f(mj.actuator_ctrlrange),
       actuator_forcerange=f(mj.actuator_forcerange),
+      act_range=f(act_range),
       geom_mesh=geom_mesh,
       geom_hfield=geom_hfield,
       eq_data=f(mj.eq_data),
@@ -612,6 +712,8 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       eq_solimp=f(mj.eq_solimp),
       ten_moment=f(ten_moment),
       ten_qmat=f(ten_qmat),
+      ten_spatial=tuple(ten_spatial),
+      ten_length0=f(ten_length0),
       tendon_stiffness=f(mj.tendon_stiffness),
       tendon_damping=f(mj.tendon_damping),
       tendon_lengthspring=f(np.atleast_2d(mj.tendon_lengthspring)
@@ -707,5 +809,6 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
       act_dot=z(m.na),
       ten_length=z(m.ntendon),
       ten_velocity=z(m.ntendon),
+      ten_J=z(m.ntendon, m.nv),
       sensordata=z(0),
   )

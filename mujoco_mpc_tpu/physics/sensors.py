@@ -42,6 +42,7 @@ ACCELEROMETER = 1
 VELOCIMETER = 2
 GYRO = 3
 MAGNETOMETER = 6
+RANGEFINDER = 7
 SUBTREECOM = 35
 SUBTREELINVEL = 36
 SUBTREEANGMOM = 37
@@ -56,8 +57,8 @@ SUPPORTED_SENSORS = frozenset({
     JOINTPOS, JOINTVEL, TENDONPOS, TENDONVEL, ACTUATORPOS, ACTUATORVEL,
     ACTUATORFRC, BALLQUAT, BALLANGVEL, FRAMEPOS, FRAMEQUAT, FRAMEXAXIS,
     FRAMEYAXIS, FRAMEZAXIS, FRAMELINVEL, FRAMEANGVEL, ACCELEROMETER,
-    VELOCIMETER, GYRO, MAGNETOMETER, SUBTREECOM, SUBTREELINVEL,
-    SUBTREEANGMOM, CLOCK, USER,
+    VELOCIMETER, GYRO, MAGNETOMETER, RANGEFINDER, SUBTREECOM,
+    SUBTREELINVEL, SUBTREEANGMOM, CLOCK, USER,
 })
 
 # mjtObj values
@@ -276,6 +277,14 @@ def sensordata(m: Model, d: Data) -> jax.Array:
       val = d.ten_length[objid][None]
     elif stype == TENDONVEL:
       val = d.ten_velocity[objid][None]
+    elif stype == RANGEFINDER:
+      # ray from the site along its +z axis, excluding the site's own
+      # body (mj_ray semantics; -1 on no hit)
+      from mujoco_mpc_tpu.physics import support
+      t = support.raycast(m, d, d.site_xpos[objid],
+                          d.site_xmat[objid][:, 2],
+                          exclude_body=int(m.site_bodyid[objid]))
+      val = t[None]
     elif stype == CLOCK:
       val = d.time[None] if d.time.ndim == 0 else d.time
     else:

@@ -73,16 +73,48 @@ def rne(m: Model, d: Data) -> Data:
 
 
 def tendon(m: Model, d: Data) -> Data:
-  """Fixed-tendon lengths and velocities (analog: mj_tendon).
+  """Tendon lengths, velocities and moment rows (analog: mj_tendon).
 
-  Fixed tendons are linear maps of joint coordinates, so both are single
-  matmuls against constant model matrices (reference gets tendons from
-  mj_step; the Shadow-hand-class models and the reference humanoid patch
-  use them for joint coupling)."""
+  Fixed tendons are linear maps of joint coordinates (single matmuls
+  against constant model matrices). Spatial tendons are site-waypoint
+  paths: per branch with pulley divisor v, length += |x2-x1|/v and the
+  moment row += u^T (Jp2 - Jp1)/v with u the unit segment direction —
+  the analytic dL/dq (reference gets tendons from mj_step; Shadow-class
+  hand models use them for coupling and actuation)."""
   if m.ntendon == 0:
     return d
-  return d.replace(ten_length=m.ten_qmat @ d.qpos,
-                   ten_velocity=m.ten_moment @ d.qvel)
+  if not any(m.ten_spatial):
+    ten_J = tm.match_vma(m.ten_moment, d.qpos)
+    return d.replace(ten_length=m.ten_qmat @ d.qpos,
+                     ten_velocity=m.ten_moment @ d.qvel,
+                     ten_J=ten_J)
+  dtype = d.qpos.dtype
+  fixed_len = m.ten_qmat @ d.qpos
+  lengths, jacs = [], []
+  for ti in range(m.ntendon):
+    branches = m.ten_spatial[ti]
+    if not branches:
+      lengths.append(fixed_len[ti])
+      jacs.append(tm.match_vma(m.ten_moment[ti], d.qpos))
+      continue
+    ln_total = jnp.zeros((), dtype=dtype)
+    jac = jnp.zeros(m.nv, dtype=dtype)
+    for divisor, sites in branches:
+      inv = 1.0 / divisor
+      for s1, s2 in zip(sites[:-1], sites[1:]):
+        x1, x2 = d.site_xpos[s1], d.site_xpos[s2]
+        diff = x2 - x1
+        ln = jnp.linalg.norm(diff)
+        u = diff / jnp.maximum(ln, 1e-12)
+        jp1, _ = _body_jac(m, d, m.site_bodyid[s1], x1)
+        jp2, _ = _body_jac(m, d, m.site_bodyid[s2], x2)
+        ln_total = ln_total + ln * inv
+        jac = jac + ((jp2 - jp1) @ u) * inv
+    lengths.append(ln_total)
+    jacs.append(jac)
+  ten_J = jnp.stack(jacs)
+  return d.replace(ten_length=jnp.stack(lengths),
+                   ten_velocity=ten_J @ d.qvel, ten_J=ten_J)
 
 
 def passive(m: Model, d: Data) -> Data:
@@ -90,16 +122,18 @@ def passive(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   qfrc = -m.dof_damping * d.qvel
 
-  # tendon spring (deadband [lo, hi]) + damper forces
+  # tendon spring (deadband [lo, hi]) + damper forces. Length/moment come
+  # from the tendon stage (fixed or spatial); velocity is recomputed from
+  # the current qvel so implicit integration sees the damping derivative.
   if m.ntendon:
-    length = m.ten_qmat @ d.qpos
-    vel = m.ten_moment @ d.qvel
+    length = d.ten_length
+    vel = d.ten_J @ d.qvel
     lo = m.tendon_lengthspring[:, 0]
     hi = m.tendon_lengthspring[:, 1]
     displacement = jnp.where(length > hi, hi - length,
                              jnp.where(length < lo, lo - length, 0.0))
     frc = m.tendon_stiffness * displacement - m.tendon_damping * vel
-    qfrc = qfrc + m.ten_moment.T @ frc
+    qfrc = qfrc + d.ten_J.T @ frc
 
   # joint springs, vectorized over joints with static coordinate maps
   if m.njnt:
@@ -179,7 +213,7 @@ def transmission(m: Model, d: Data) -> Data:
     moment = jnp.einsum('unk,uk->un', jnp.asarray(sel, dtype=dtype), gear)
     if ten_mask.any():
       moment = moment + (jnp.asarray(ten_sel, dtype=dtype)
-                         @ m.ten_moment) * gear[:, 0:1]
+                         @ d.ten_J) * gear[:, 0:1]
       length = jnp.where(jnp.asarray(ten_mask, dtype=bool),
                          d.ten_length[ten_idx] * gear[:, 0],
                          d.qpos[qadr_arr] * gear[:, 0]
@@ -224,15 +258,36 @@ def transmission(m: Model, d: Data) -> Data:
       s = m.actuator_trnid[u]
       bodyid = m.site_bodyid[s]
       jacp, jacr = _body_jac(m, d, bodyid, d.site_xpos[s])
-      # wrench specified in site frame
-      force = d.site_xmat[s] @ gear[:3]
-      torque = d.site_xmat[s] @ gear[3:]
-      lengths.append(jnp.zeros((), dtype=dtype))
-      moments.append(jacp @ force + jacr @ torque)
+      refid = m.actuator_refid[u]
+      if refid < 0:
+        # wrench specified in site frame, zero length (mj_transmission)
+        force = d.site_xmat[s] @ gear[:3]
+        torque = d.site_xmat[s] @ gear[3:]
+        lengths.append(jnp.zeros((), dtype=dtype))
+        moments.append(jacp @ force + jacr @ torque)
+      else:
+        # site-minus-refsite transmission (intvelocity/position over a
+        # Cartesian site pose, reference fingers task): length = gear .
+        # [relative translation; rotation residual] in the ref frame.
+        # moment = gear . [R_r^T (Jp_s - Jp_r); R_r^T (Jr_s - Jr_r)] —
+        # mj_transmission's convention, which treats the ref frame as
+        # momentarily FIXED (no w_r x vec rotating-frame term; verified
+        # against mjd.actuator_moment + an FD probe of its length)
+        rmat = d.site_xmat[refid]
+        rjacp, rjacr = _body_jac(m, d, m.site_bodyid[refid],
+                                 d.site_xpos[refid])
+        vec = d.site_xpos[s] - d.site_xpos[refid]
+        trans = rmat.T @ vec
+        rot = tm.quat_sub(tm.mat_to_quat(d.site_xmat[s]),
+                          tm.mat_to_quat(rmat))
+        lengths.append(jnp.dot(gear[:3], trans) + jnp.dot(gear[3:], rot))
+        jp_rel = (jacp - rjacp) @ rmat
+        jr_rel = (jacr - rjacr) @ rmat                 # (nv, 3) ref frame
+        moments.append(jp_rel @ gear[:3] + jr_rel @ gear[3:])
     elif trntype == TrnType.TENDON:
       ti = m.actuator_trnid[u]
       lengths.append(d.ten_length[ti] * gear[0])
-      moments.append(m.ten_moment[ti] * gear[0])
+      moments.append(d.ten_J[ti] * gear[0])
     else:
       raise NotImplementedError(f'transmission type {trntype}')
   moment = jnp.stack(moments)              # (nu, nv)

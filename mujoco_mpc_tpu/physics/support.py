@@ -155,6 +155,121 @@ def _static_geoms(m: Model, group: int = 0):
   return tuple(out)
 
 
+def _ray_geom(m: Model, d: Data, g: int, origin: jax.Array,
+              dirn: jax.Array) -> jax.Array:
+  """Ray-geom intersection distance (analog: mj_rayGeom); big on miss.
+
+  Static per-geom dispatch over plane / sphere / ellipsoid / capsule /
+  cylinder / box / mesh-hull; hfield is handled by the caller's
+  specialized path. `dirn` must be unit length."""
+  dtype = origin.dtype
+  big = jnp.asarray(1e9, dtype=dtype)
+  gtype = m.geom_type[g]
+  gpos, gmat, size = d.geom_xpos[g], d.geom_xmat[g], m.geom_size[g]
+
+  def quadratic(b, c):
+    """Smallest positive root of t^2 + 2 b t + c = 0, big if none."""
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0, t1 = -b - sq, -b + sq
+    t = jnp.where(t0 > 0, t0, jnp.where(t1 > 0, t1, big))
+    return jnp.where(disc >= 0, t, big)
+
+  if gtype == 0:                        # plane (one-sided, +z normal)
+    n = gmat[:, 2]
+    denom = jnp.dot(n, dirn)
+    t = jnp.dot(n, gpos - origin) / jnp.where(
+        jnp.abs(denom) < 1e-12, 1e-12, denom)
+    return jnp.where(t > 0, t, big)
+  if gtype == 2:                        # sphere
+    oc = origin - gpos
+    return quadratic(jnp.dot(oc, dirn), jnp.dot(oc, oc) - size[0] ** 2)
+  if gtype == 4:                        # ellipsoid: scale to unit sphere
+    o = (gmat.T @ (origin - gpos)) / size
+    v = (gmat.T @ dirn) / size
+    vv = jnp.dot(v, v)
+    b = jnp.dot(o, v) / vv
+    t = quadratic(b, (jnp.dot(o, o) - 1.0) / vv)
+    # t is in scaled parameterization of the same line: x = o + t*v, and
+    # world distance = t (v is not unit; fold |v| back in)
+    return jnp.where(t < big, t, big)
+  if gtype in (3, 5):                   # capsule / cylinder
+    o = gmat.T @ (origin - gpos)
+    v = gmat.T @ dirn
+    r, h = size[0], size[1]
+    # side surface: project out the axis (z)
+    vv = v[0] ** 2 + v[1] ** 2
+    vv_safe = jnp.maximum(vv, 1e-12)
+    b = (o[0] * v[0] + o[1] * v[1]) / vv_safe
+    c = (o[0] ** 2 + o[1] ** 2 - r * r) / vv_safe
+    t_side = quadratic(b, c)
+    z_at = o[2] + t_side * v[2]
+    t_side = jnp.where(
+        jnp.logical_and(vv > 1e-12, jnp.abs(z_at) <= h), t_side, big)
+    if gtype == 3:                      # capsule: spherical end caps
+      ts = [t_side]
+      for zc in (-1.0, 1.0):
+        cap = jnp.array([0.0, 0.0, zc], dtype) * h
+        oc = o - cap
+        t_cap = quadratic(jnp.dot(oc, v), jnp.dot(oc, oc) - r * r)
+        zrel = o[2] + t_cap * v[2] - zc * h
+        ts.append(jnp.where(zc * zrel >= 0, t_cap, big))
+      return jnp.min(jnp.stack(ts))
+    # cylinder: flat end discs
+    ts = [t_side]
+    vz = jnp.where(jnp.abs(v[2]) < 1e-12, 1e-12, v[2])
+    for zc in (-1.0, 1.0):
+      t_disc = (zc * h - o[2]) / vz
+      x = o[0] + t_disc * v[0]
+      y = o[1] + t_disc * v[1]
+      ok = jnp.logical_and(t_disc > 0, x * x + y * y <= r * r)
+      ts.append(jnp.where(ok, t_disc, big))
+    return jnp.min(jnp.stack(ts))
+  if gtype == 6:                        # box: slab test
+    o = gmat.T @ (origin - gpos)
+    v = gmat.T @ dirn
+    v = jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+    t1 = (-size - o) / v
+    t2 = (size - o) / v
+    tmin = jnp.max(jnp.minimum(t1, t2))
+    tmax = jnp.min(jnp.maximum(t1, t2))
+    hit = jnp.logical_and(tmax >= jnp.maximum(tmin, 0.0), tmax > 0)
+    return jnp.where(hit, jnp.where(tmin > 0, tmin, tmax), big)
+  if gtype == 7 and g in m.geom_mesh:   # convex hull: halfspace slabs
+    from mujoco_mpc_tpu.physics import collision
+    _, n_w, b_w = collision._hull_world(m, d, g)
+    num = -(n_w @ origin + b_w)                     # (F,)
+    den = n_w @ dirn
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    t = num / den
+    tmin = jnp.max(jnp.where(den < 0, t, -big))     # entering faces
+    tmax = jnp.min(jnp.where(den > 0, t, big))      # exiting faces
+    hit = jnp.logical_and(tmax >= jnp.maximum(tmin, 0.0), tmax > 0)
+    return jnp.where(hit, jnp.where(tmin > 0, tmin, tmax), big)
+  return big
+
+
+def raycast(m: Model, d: Data, origin: jax.Array, dirn: jax.Array,
+            exclude_body: int = -1) -> jax.Array:
+  """Nearest intersection distance of a world ray against all geoms
+  (analog: mj_ray; used by the rangefinder sensor). Skips geoms on
+  `exclude_body` and non-colliding visual-only geoms; returns -1 on no
+  hit (the rangefinder convention)."""
+  dtype = origin.dtype
+  big = jnp.asarray(1e9, dtype=dtype)
+  dirn = dirn / jnp.maximum(jnp.linalg.norm(dirn), 1e-12)
+  dists = [big]
+  for g in range(m.ngeom):
+    if exclude_body >= 0 and m.geom_bodyid[g] == exclude_body:
+      continue
+    if m.geom_contype[g] == 0 and m.geom_conaffinity[g] == 0 and \
+       m.geom_type[g] != 0:
+      continue                          # visual-only decoration
+    dists.append(_ray_geom(m, d, g, origin, dirn))
+  t = jnp.min(jnp.stack(dists))
+  return jnp.where(t < big, t, jnp.asarray(-1.0, dtype=dtype))
+
+
 def ground_height(m: Model, d: Data, pos: jax.Array) -> jax.Array:
   """Terrain height under world position `pos` (x, y): a vertical
   downward raycast against the static group-0 geoms (planes, boxes,

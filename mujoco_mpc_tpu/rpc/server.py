@@ -17,7 +17,17 @@ def main():
   p = argparse.ArgumentParser()
   p.add_argument('--port', type=int, default=0)
   p.add_argument('--services', default='agent,filter,direct')
+  p.add_argument('--platform', default=None,
+                 help="JAX backend override (e.g. 'cpu'); the env var "
+                      'JAX_PLATFORMS is not reliably honored, so this '
+                      'calls jax.config before first backend use')
   args = p.parse_args()
+
+  import os
+  platform = args.platform or os.environ.get('MTPU_PLATFORM')
+  if platform:
+    import jax
+    jax.config.update('jax_platforms', platform)
 
   from mujoco_mpc_tpu.rpc import service
   handlers = []

@@ -923,11 +923,12 @@ def _panda_bring() -> base.TaskSpec:
 
 
 def _hand_task(name: str, n_fingers: int,
-               goal_schedule: Optional[np.ndarray] = None) -> base.TaskSpec:
+               goal_schedule: Optional[np.ndarray] = None,
+               mesh_cube: bool = False) -> base.TaskSpec:
   from mujoco_mpc_tpu.models import hands
   from mujoco_mpc_tpu.utils import tpu_math as tm
 
-  xml = hands.hand_xml(name, n_fingers)
+  xml = hands.hand_xml(name, n_fingers, mesh_cube=mesh_cube)
   spec_model, _ = load_model(xml_string=xml)
   cube = spec_model.body('cube')
   cube_site = spec_model.site('cube_site')
@@ -989,7 +990,9 @@ def _hand_task(name: str, n_fingers: int,
 
 @register('Shadow Reorient')
 def _shadow_reorient() -> base.TaskSpec:
-  return _hand_task('Shadow Reorient', n_fingers=4)
+  # chamfered-mesh cube: the contact-rich flagship runs on the convex
+  # mesh-hull collision path (reference uses a rounded-cube mesh asset)
+  return _hand_task('Shadow Reorient', n_fingers=4, mesh_cube=True)
 
 
 @register('Allegro Cube')

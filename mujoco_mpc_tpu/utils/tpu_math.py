@@ -70,6 +70,27 @@ def quat_to_mat(q: jax.Array) -> jax.Array:
   ], axis=-2)
 
 
+def mat_to_quat(R: jax.Array) -> jax.Array:
+  """Rotation matrix to unit quaternion (branchless Shepperd: all four
+  candidate quats computed, the best-conditioned one selected)."""
+  tr = R[0, 0] + R[1, 1] + R[2, 2]
+  cand = jnp.stack([
+      jnp.stack([1.0 + tr, R[2, 1] - R[1, 2],
+                 R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]),
+      jnp.stack([R[2, 1] - R[1, 2], 1.0 + 2.0 * R[0, 0] - tr,
+                 R[0, 1] + R[1, 0], R[0, 2] + R[2, 0]]),
+      jnp.stack([R[0, 2] - R[2, 0], R[0, 1] + R[1, 0],
+                 1.0 + 2.0 * R[1, 1] - tr, R[1, 2] + R[2, 1]]),
+      jnp.stack([R[1, 0] - R[0, 1], R[0, 2] + R[2, 0],
+                 R[1, 2] + R[2, 1], 1.0 + 2.0 * R[2, 2] - tr]),
+  ])                                                   # (4, 4)
+  pivots = jnp.stack([1.0 + tr, 1.0 + 2.0 * R[0, 0] - tr,
+                      1.0 + 2.0 * R[1, 1] - tr, 1.0 + 2.0 * R[2, 2] - tr])
+  q = cand[jnp.argmax(pivots)]
+  q = q * jnp.where(q[0] < 0, -1.0, 1.0)
+  return q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+
+
 def axis_angle_to_quat(axis: jax.Array, angle: jax.Array) -> jax.Array:
   """Unit-axis + angle to quaternion."""
   half = 0.5 * angle

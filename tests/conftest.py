@@ -13,6 +13,9 @@ if 'xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
       flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ['JAX_ENABLE_X64'] = '1'
+# subprocess servers (clients._spawn_server) pin their backend via the
+# --platform flag from this var: a down TPU tunnel must not hang tests
+os.environ['MTPU_PLATFORM'] = 'cpu'
 
 import jax  # noqa: E402
 

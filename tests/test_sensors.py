@@ -145,3 +145,52 @@ def test_contact_forces_weight_balance():
     elif cf.b1[i] == box_body:
       up -= fw[i, 2]
   assert abs(up - 9.81 * 0.2) < 0.02, up
+
+
+RANGE_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <geom name="wall" type="box" size="0.1 2 1" pos="2 0 1"/>
+    <geom name="ball" type="sphere" size="0.3" pos="0 2 0.5"/>
+    <geom name="post" type="capsule" size="0.08 0.5" pos="-1.5 0 0.6"/>
+    <geom name="drum" type="cylinder" size="0.25 0.4" pos="0 -2 0.4"/>
+    <body name="head" pos="0 0 0.5">
+      <joint name="yaw" type="hinge" axis="0 0 1"/>
+      <geom type="sphere" size="0.05" mass="0.2"/>
+      <site name="eye_fwd" pos="0.06 0 0" zaxis="1 0 0"/>
+      <site name="eye_left" pos="0 0.06 0" zaxis="0 1 0"/>
+      <site name="eye_back" pos="-0.06 0 0" zaxis="-1 0 0"/>
+      <site name="eye_right" pos="0 -0.06 0" zaxis="0 -1 0"/>
+      <site name="eye_up" pos="0 0 0.06" zaxis="0 0 1"/>
+      <site name="eye_down" pos="0 0 -0.06" zaxis="0 0 -1"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <rangefinder site="eye_fwd"/>
+    <rangefinder site="eye_left"/>
+    <rangefinder site="eye_back"/>
+    <rangefinder site="eye_right"/>
+    <rangefinder site="eye_up"/>
+    <rangefinder site="eye_down"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_rangefinder_golden():
+  """Rangefinder rays against box / sphere / capsule / cylinder / plane
+  and the no-hit case match mj_ray (support.raycast)."""
+  mjm = mujoco.MjModel.from_xml_string(RANGE_XML)
+  mjd = mujoco.MjData(mjm)
+  for yaw in (0.0, 0.4, -1.1, 2.5):
+    mjd.qpos[0] = yaw
+    mujoco.mj_forward(mjm, mjd)
+    m = put_model(mjm, dtype=jnp.float64)
+    d = make_data(m, dtype=jnp.float64).replace(
+        qpos=jnp.asarray(mjd.qpos.copy()))
+    d = fwd.forward(m, d)
+    ours = np.asarray(sensors.sensordata(m, d))
+    np.testing.assert_allclose(ours, mjd.sensordata, atol=1e-9,
+                               err_msg=f'yaw={yaw}')

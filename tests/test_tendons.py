@@ -135,15 +135,165 @@ def test_tendon_actuator():
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
 
 
-def test_spatial_tendon_rejected():
+def test_geom_wrap_tendon_rejected():
+  """Sphere/cylinder wrap surfaces are the one unsupported tendon
+  feature; they must fail loudly at compile."""
   xml = """
   <mujoco><worldbody>
     <site name="a" pos="0 0 1"/>
+    <geom name="wrap" type="cylinder" size="0.05 0.2" pos="0 0 0.75"
+          euler="90 0 0" contype="0" conaffinity="0"/>
     <body pos="0 0 0.5"><joint type="slide" axis="0 0 1"/>
       <geom type="sphere" size="0.05" mass="1"/><site name="b"/></body>
   </worldbody>
-  <tendon><spatial name="sp"><site site="a"/><site site="b"/></spatial></tendon>
+  <tendon><spatial name="sp">
+    <site site="a"/><geom geom="wrap"/><site site="b"/>
+  </spatial></tendon>
   </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match='spatial'):
+  with pytest.raises(NotImplementedError, match='wrap'):
     put_model(mjm)
+
+
+SPATIAL = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <site name="anchor" pos="0.1 0 1.2"/>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.4 0 0" mass="0.5"/>
+      <site name="mid" pos="0.2 0 0.03"/>
+      <body pos="0.4 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.05"/>
+        <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0"
+              mass="0.3"/>
+        <site name="tip" pos="0.3 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="string" stiffness="40" damping="1.0"
+             springlength="0.5">
+      <site site="anchor"/><site site="mid"/><site site="tip"/>
+    </spatial>
+  </tendon>
+  <sensor>
+    <tendonpos tendon="string"/>
+    <tendonvel tendon="string"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_spatial_tendon_length_and_moment():
+  """Site-waypoint tendon length and moment rows match mj_tendon."""
+  mjm = mujoco.MjModel.from_xml_string(SPATIAL)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(3)
+  mjd.qpos[:] = 0.3 * rng.standard_normal(mjm.nq)
+  mjd.qvel[:] = 0.5 * rng.standard_normal(mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64).replace(
+      qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy()))
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.ten_length), mjd.ten_length,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.ten_velocity), mjd.ten_velocity,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.ten_J)[0],
+                             mjd.ten_J.reshape(mjm.ntendon, mjm.nv)[0],
+                             atol=1e-10)
+
+
+def test_spatial_tendon_spring_trajectory():
+  """Swinging double pendulum held by a spatial tendon spring follows
+  the oracle (spring + damper forces through the moment rows)."""
+  mjm = mujoco.MjModel.from_xml_string(SPATIAL)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = [0.5, -0.3]
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64).replace(
+      qpos=jnp.asarray(mjd.qpos.copy()))
+  step = jax.jit(fwd.step)
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-5)
+
+
+def test_spatial_tendon_actuator_and_limit():
+  """Tendon actuator pulling through a spatial path + tendon range
+  limit, trajectory vs oracle."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002" gravity="0 0 -9.81"/>
+    <worldbody>
+      <site name="top" pos="0 0 1.5"/>
+      <body pos="0 0 1">
+        <joint name="lift" type="slide" axis="0 0 1" damping="2.0"/>
+        <geom type="box" size="0.05 0.05 0.05" mass="0.5"/>
+        <site name="hook" pos="0 0 0.05"/>
+      </body>
+    </worldbody>
+    <tendon>
+      <spatial name="cable" limited="true" range="0.1 0.48">
+        <site site="top"/><site site="hook"/>
+      </spatial>
+    </tendon>
+    <actuator>
+      <motor tendon="cable" gear="-8" ctrlrange="0 1" ctrllimited="true"/>
+    </actuator>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.ctrl[:] = 0.6
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64).replace(
+      ctrl=jnp.asarray(mjd.ctrl.copy()))
+  step = jax.jit(fwd.step)
+  for _ in range(400):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=5e-4)
+  # the range limit kept the cable from collapsing below its minimum
+  assert float(d.ten_length[0]) > 0.09
+
+
+def test_spatial_tendon_pulley_branches():
+  """Pulley divisor splits the path into scaled branches (mj_tendon
+  semantics): length = sum(branch length / divisor)."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <site name="a" pos="0 0 1"/>
+      <site name="b" pos="0.3 0 1"/>
+      <body pos="0 0 0.5">
+        <joint name="z" type="slide" axis="0 0 1"/>
+        <geom type="sphere" size="0.05" mass="1"/>
+        <site name="p1" pos="0 0 0"/>
+        <site name="p2" pos="0.05 0 0"/>
+      </body>
+    </worldbody>
+    <tendon>
+      <spatial name="rig">
+        <site site="a"/><site site="p1"/>
+        <pulley divisor="2"/>
+        <site site="b"/><site site="p2"/>
+      </spatial>
+    </tendon>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = fwd.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.ten_length), mjd.ten_length,
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.ten_J)[0],
+                             mjd.ten_J.reshape(mjm.ntendon, mjm.nv)[0],
+                             atol=1e-10)
