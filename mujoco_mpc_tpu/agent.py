@@ -198,6 +198,10 @@ class Agent:
 
     self._optimize = jax.jit(self.planner.optimize)
     self._action = jax.jit(self.planner.action)
+    self._nominal_action = jax.jit(self.planner.nominal_action)
+    # policy from before the last install (Step use_previous_policy,
+    # reference agent.proto:142-146: simulated planning delay)
+    self.prev_policy = self.policy
 
     # native act path: serve spline-policy action queries from the C++
     # runtime (reference: ActionFromPolicy on the physics thread,
@@ -262,6 +266,7 @@ class Agent:
   def install_policy(self, policy):
     """Install a newly optimized policy (the reference's policy swap
     under shared_mutex, sampling/planner.cc:525-534)."""
+    self.prev_policy = self.policy
     self.policy = policy
     if self._native_policy is not None:
       self._native_policy.set_plan(np.asarray(policy.times),
@@ -280,22 +285,33 @@ class Agent:
           self.sim_data, self.params, k)
 
   # -- reference Agent::ActionFromPolicy -----------------------------------
-  def action(self, time=None) -> jax.Array:
+  def action(self, time=None, nominal: bool = False,
+             use_previous_policy: bool = False) -> jax.Array:
+    """Policy action at `time` (current sim time when None).
+
+    nominal=True drops feedback terms (iLQG/iLQS; no effect otherwise —
+    reference agent.proto:108-111). use_previous_policy=True queries the
+    policy from before the last install (simulated planning delay,
+    agent.proto:142-146)."""
     d = self.sim_data
     t = d.time if time is None else time
-    if self._native_policy is not None:
+    if (self._native_policy is not None and not nominal
+        and not use_previous_policy):
       t_host = self._host_time if time is None else float(time)
       # host numpy out: the act path serves host consumers (service loop,
       # GUI); a device put here would cost a transfer per control step
       return self._native_policy.action(t_host)
-    return self._action(self.policy, d.qpos, d.qvel, d.act, t)
+    pol = self.prev_policy if use_previous_policy else self.policy
+    fn = self._nominal_action if nominal else self._action
+    return fn(pol, d.qpos, d.qvel, d.act, t)
 
   # -- physics step with the policy action ---------------------------------
-  def step(self, ctrl=None):
+  def step(self, ctrl=None, use_previous_policy: bool = False):
     """Step the sim under the policy action, or an explicit `ctrl`
     override (used by the app to inject control noise into the applied
     action, reference app.cc:292-304)."""
-    u = self.action() if ctrl is None else ctrl
+    u = (self.action(use_previous_policy=use_previous_policy)
+         if ctrl is None else ctrl)
     u = jnp.asarray(u, dtype=self.sim_data.qpos.dtype)
     self.sim_data = self._step(self.sim_data.replace(ctrl=u))
     self._host_time += float(self.spec.model.opt.timestep)

@@ -134,14 +134,17 @@ class Agent(_BaseClient):
         quat=list(np.ravel(quat)) if quat is not None else []))
 
   def get_action(self, time: Optional[float] = None,
-                 averaging_duration: float = 0.0) -> np.ndarray:
+                 averaging_duration: float = 0.0,
+                 nominal_action: bool = False) -> np.ndarray:
     req = agent_pb2.GetActionRequest(
         time=time or 0.0, use_current_time=time is None,
-        averaging_duration=averaging_duration)
+        averaging_duration=averaging_duration,
+        nominal_action=nominal_action)
     return np.asarray(self.stub.GetAction(req).action)
 
-  def step(self):
-    return self.stub.Step(agent_pb2.StepRequest()).state
+  def step(self, use_previous_policy: bool = False):
+    return self.stub.Step(agent_pb2.StepRequest(
+        use_previous_policy=use_previous_policy)).state
 
   def reset(self):
     self.stub.Reset(agent_pb2.ResetRequest())

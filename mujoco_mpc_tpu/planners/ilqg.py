@@ -303,6 +303,18 @@ def action_from_policy(spec: TaskSpec, policy: ILQGPolicy, qpos: jax.Array,
   return jnp.clip(u, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])
 
 
+def nominal_action_from_policy(spec: TaskSpec, policy: ILQGPolicy,
+                               time: jax.Array) -> jax.Array:
+  """ū(t) without feedback terms (reference: GetAction nominal_action,
+  agent.proto:108-111 / ilqg policy.cc nominal path)."""
+  m = spec.model
+  t_idx = jnp.clip(
+      jnp.searchsorted(policy.times, time, side='right') - 1, 0,
+      policy.times.shape[0] - 1)
+  return jnp.clip(policy.actions[t_idx], m.actuator_ctrlrange[:, 0],
+                  m.actuator_ctrlrange[:, 1])
+
+
 # ---------------------------------------------------------------------------
 # optimize
 # ---------------------------------------------------------------------------

@@ -139,3 +139,13 @@ def action_from_policy(spec: TaskSpec, state: ILQSState, qpos, qvel, act,
   u_i = ilqg.action_from_policy(spec, state.ilqg_state.policy, qpos, qvel,
                                 act, time)
   return jnp.where(state.active == ACTIVE_SAMPLING, u_s, u_i)
+
+
+def nominal_action_from_policy(spec: TaskSpec, state: ILQSState, time,
+                               interp: int) -> jax.Array:
+  """Active policy's action without feedback terms (GetAction
+  nominal_action semantics; only the iLQG branch has feedback)."""
+  u_s = sampling.action_from_policy(
+      spec, state.sampling_policy, time, interp)
+  u_i = ilqg.nominal_action_from_policy(spec, state.ilqg_state.policy, time)
+  return jnp.where(state.active == ACTIVE_SAMPLING, u_s, u_i)

@@ -39,6 +39,10 @@ class PlannerDef:
   init: Callable[..., Any]
   optimize: Callable[..., Tuple[Any, dict]]
   action: Callable[..., jax.Array]
+  # action without feedback terms (reference GetAction nominal_action,
+  # agent.proto:108-111); differs from `action` only for feedback
+  # planners (iLQG / iLQS)
+  nominal_action: Callable[..., jax.Array] = None
 
 
 def make_planner(spec: TaskSpec, planner_id: int, num_samples: int,
@@ -88,6 +92,9 @@ def make_planner(spec: TaskSpec, planner_id: int, num_samples: int,
       return ilqg.action_from_policy(spec, state.policy, qpos, qvel, act,
                                      time)
 
+    def nominal_action(state, qpos, qvel, act, time):
+      return ilqg.nominal_action_from_policy(spec, state.policy, time)
+
   elif planner_id == ILQS:
     scfg = sampling.default_config(spec, dtype)
     icfg = ilqg.default_config(spec, dtype)
@@ -103,6 +110,9 @@ def make_planner(spec: TaskSpec, planner_id: int, num_samples: int,
     def action(state, qpos, qvel, act, time):
       return ilqs.action_from_policy(spec, state, qpos, qvel, act, time,
                                      interp)
+
+    def nominal_action(state, qpos, qvel, act, time):
+      return ilqs.nominal_action_from_policy(spec, state, time, interp)
 
   elif planner_id == ROBUST:
     # decorator over any RankedPlanner (reference planner.h:84-102); the
@@ -168,4 +178,6 @@ def make_planner(spec: TaskSpec, planner_id: int, num_samples: int,
   else:
     raise ValueError(f'unknown planner id {planner_id}')
 
-  return PlannerDef(init=init, optimize=optimize, action=action)
+  nom = nominal_action if planner_id in (ILQG, ILQS) else action
+  return PlannerDef(init=init, optimize=optimize, action=action,
+                    nominal_action=nom)

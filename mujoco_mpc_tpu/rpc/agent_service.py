@@ -138,16 +138,18 @@ class AgentService:
   def GetAction(self, request, context=None):
     time = None if request.use_current_time or request.time == 0 else \
         request.time
+    nominal = bool(request.nominal_action)
     if request.averaging_duration > 0:
       # average the policy over [t, t+duration] (reference:
       # grpc_agent_util action averaging semantics)
       t0 = self.agent._host_time if time is None else float(time)
       npts = 10
       ts = np.linspace(t0, t0 + request.averaging_duration, npts)
-      us = np.stack([np.asarray(self.agent.action(float(t))) for t in ts])
+      us = np.stack([np.asarray(self.agent.action(float(t), nominal))
+                     for t in ts])
       u = us.mean(axis=0)
     else:
-      u = self.agent.action(time)
+      u = self.agent.action(time, nominal)
     return pb.GetActionResponse(action=np.asarray(u).tolist())
 
   def GetBestTrajectory(self, request, context=None):
@@ -175,7 +177,7 @@ class AgentService:
 
   def Step(self, request, context=None):
     self.agent.transition()
-    self.agent.step()
+    self.agent.step(use_previous_policy=bool(request.use_previous_policy))
     return pb.StepResponse(state=self.GetState(None).state)
 
   # -- task parameters / costs ----------------------------------------------

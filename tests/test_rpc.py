@@ -180,3 +180,33 @@ def test_direct_noise_reset_sensorinfo():
   svc.Reset(direct_pb2.DirectResetRequest())
   d = svc.Data(direct_pb2.DirectDataRequest(index=1))
   np.testing.assert_allclose(list(d.configuration), [0.0, 0.0], atol=1e-12)
+
+
+def test_nominal_action_and_previous_policy():
+  """GetAction(nominal_action) drops iLQG feedback terms; Step
+  (use_previous_policy) acts from the pre-PlannerStep policy (reference
+  agent.proto:108-111, 142-146)."""
+  svc = AgentService()
+  # Particle: controls stay interior, so boxQP leaves rows free and the
+  # time-0 feedback gain is nonzero after one iteration (on a swing-up
+  # first iteration the box saturates and K=0 rows are CORRECT)
+  svc.Init(agent_pb2.InitRequest(task_id='ParticleFixed', planner_id=2,
+                                 num_samples=4))
+  svc.SetState(agent_pb2.SetStateRequest(state=agent_pb2.State(
+      qpos=[0.05, -0.04], qvel=[0.0, 0.0])))
+  svc.PlannerStep(agent_pb2.PlannerStepRequest())
+  # move the state off the nominal so feedback terms are nonzero
+  svc.SetState(agent_pb2.SetStateRequest(state=agent_pb2.State(
+      qpos=[-0.06, 0.08], qvel=[0.2, -0.1])))
+  fb = np.asarray(svc.GetAction(
+      agent_pb2.GetActionRequest(use_current_time=True)).action)
+  nom = np.asarray(svc.GetAction(agent_pb2.GetActionRequest(
+      use_current_time=True, nominal_action=True)).action)
+  assert not np.allclose(fb, nom)
+  # previous policy: before any second PlannerStep, prev == initial
+  # (zero) policy, so acting with it differs from the optimized one
+  agent = svc.agent
+  u_prev = np.asarray(agent.action(use_previous_policy=True))
+  u_cur = np.asarray(agent.action())
+  assert not np.allclose(u_prev, u_cur)
+  svc.Step(agent_pb2.StepRequest(use_previous_policy=True))
