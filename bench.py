@@ -148,6 +148,33 @@ def measure_extra_configs():
       out[key] = round(lat[len(lat) // 2] * 1e3, 1)
     except Exception:
       out[key] = -1.0
+
+  # BASELINE config #2: derivative-based backward pass (iLQG) on
+  # Particle + Swimmer (reference: testspeed with planner_id=2)
+  from mujoco_mpc_tpu.planners import registry as planners
+  for task, key in [('Particle', 'particle_ilqg_p50_ms'),
+                    ('Swimmer', 'swimmer_ilqg_p50_ms')]:
+    try:
+      spec = registry.get_task(task)
+      t_steps = agent_mod.horizon_steps(spec)
+      d0 = make_data(spec.model)
+      pdef = planners.make_planner(spec, planners.ILQG, 8, t_steps, 10)
+      state = pdef.init()
+      params = spec.default_params
+      opt = jax.jit(lambda s, k: pdef.optimize(s, d0, params, k))
+      k = jax.random.key(0)
+      r = opt(state, k)
+      jax.block_until_ready(r)
+      lat = []
+      for _ in range(8):
+        t0 = _time.perf_counter()
+        r = opt(state, k)
+        jax.block_until_ready(r)
+        lat.append(_time.perf_counter() - t0)
+      lat.sort()
+      out[key] = round(lat[len(lat) // 2] * 1e3, 1)
+    except Exception:
+      out[key] = -1.0
   return out
 
 

@@ -54,6 +54,86 @@ def _on_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Elliptic friction cones (MJCF <option cone="elliptic"/>).
+#
+# Per condim>1 contact: 6 contact-frame rows (normal, t1, t2, torsion,
+# roll1, roll2; padded dims have s=0), jar = J qacc - aref, N = jar[0],
+# T = ||jar[1:] * s||. Cost zones (validated vs mj_constraintUpdate,
+# tests/test_elliptic.py):
+#   satisfied  mu*T <= N : 0
+#   bottom     T <= -mu*N: 0.5 * d0 * sum_i s_i^2 jar_i^2
+#   middle     otherwise : 0.5 * d0/(1+mu^2) * (mu*T - N)^2
+# The middle-zone Hessian keeps the (PSD) norm-curvature term, so Newton
+# steps are exact second order.
+# ---------------------------------------------------------------------------
+
+_T_EPS = 1e-15
+
+
+def _cone_parts(jar_c, s, mu):
+  """N, T, scaled-square row weights s2row (C,6), zone masks."""
+  n = jar_c[..., 0]
+  ts = jar_c[..., 1:] * s
+  t = jnp.sqrt(jnp.sum(ts * ts, axis=-1))
+  sat = mu * t <= n
+  bottom = jnp.logical_and(t <= -mu * n, jnp.logical_not(sat))
+  middle = jnp.logical_not(jnp.logical_or(sat, bottom))
+  s2row = jnp.concatenate([jnp.ones_like(s[..., :1]), s * s], axis=-1)
+  return n, t, s2row, bottom, middle
+
+
+def cone_cost(jar_c, d0, s, mu):
+  """Total elliptic-cone cost, summed over contacts. Leading batch axes
+  on jar_c broadcast against (C, ...) params (used by the line search)."""
+  n, t, s2row, bottom, middle = _cone_parts(jar_c, s, mu)
+  quad = 0.5 * d0 * jnp.sum(s2row * jar_c * jar_c, axis=-1)
+  z = mu * t - n
+  mid = 0.5 * d0 / (1.0 + mu * mu) * z * z
+  per = jnp.where(bottom, quad, jnp.where(middle, mid, 0.0))
+  return jnp.sum(per, axis=-1)
+
+
+def cone_grad(jar_c, d0, s, mu):
+  """d cost / d jar, (C, 6). Contact force = -cone_grad."""
+  n, t, s2row, bottom, middle = _cone_parts(jar_c, s, mu)
+  g_bot = d0[..., None] * s2row * jar_c
+  z = mu * t - n
+  c0 = d0 / (1.0 + mu * mu)
+  tsafe = jnp.maximum(t, _T_EPS)
+  gz = jnp.concatenate(
+      [-jnp.ones_like(jar_c[..., :1]),
+       (mu / tsafe)[..., None] * s * s * jar_c[..., 1:]], axis=-1)
+  g_mid = (c0 * z)[..., None] * gz
+  return jnp.where(bottom[..., None], g_bot,
+                   jnp.where(middle[..., None], g_mid, 0.0))
+
+
+def cone_hess(jar_c, d0, s, mu):
+  """d^2 cost / d jar^2, (C, 6, 6). PSD in every zone."""
+  n, t, s2row, bottom, middle = _cone_parts(jar_c, s, mu)
+  dtype = jar_c.dtype
+  eye6 = jnp.eye(6, dtype=dtype)
+  h_bot = (d0[..., None] * s2row)[..., None] * eye6
+  z = mu * t - n
+  c0 = d0 / (1.0 + mu * mu)
+  tsafe = jnp.maximum(t, _T_EPS)
+  gz = jnp.concatenate(
+      [-jnp.ones_like(jar_c[..., :1]),
+       (mu / tsafe)[..., None] * s * s * jar_c[..., 1:]], axis=-1)
+  # norm curvature over the friction block: (diag(s^2) - w w^T / T^2)/T
+  w = jnp.concatenate([jnp.zeros_like(jar_c[..., :1]),
+                       s * s * jar_c[..., 1:]], axis=-1)
+  diag_f = jnp.concatenate([jnp.zeros_like(s[..., :1]), s * s], axis=-1)
+  curv = (diag_f[..., None] * eye6
+          - w[..., :, None] * w[..., None, :] / (tsafe * tsafe)[..., None, None])
+  h_mid = (c0[..., None, None] * gz[..., :, None] * gz[..., None, :]
+           + (c0 * z * mu / tsafe)[..., None, None] * curv)
+  zero = jnp.zeros_like(h_bot)
+  return jnp.where(bottom[..., None, None], h_bot,
+                   jnp.where(middle[..., None, None], h_mid, zero))
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel: full Newton loop, batch in lanes.
 # ---------------------------------------------------------------------------
 
@@ -345,8 +425,8 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
 # ---------------------------------------------------------------------------
 
 
-def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
-                      sign, cap, tol):
+def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
+                      c_aref, c_d0, c_s, c_mu, *, dof, sign, cap, tol):
   """Single-sample Newton solve (jar-carrying, exact line search)."""
   from mujoco_mpc_tpu.ops import pallas_linalg
   from mujoco_mpc_tpu.utils import tpu_math as _tm
@@ -354,18 +434,20 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
   nv = qs.shape[0]
   n = j.shape[0]
   ns = s_aref.shape[0]
+  nc = c_d0.shape[0]
   has_d = n > 0
   has_s = ns > 0
+  has_c = nc > 0
   dtype = qs.dtype
   eq = eqf > 0.5
   sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
   dof_np = np.asarray(dof, dtype=np.int32)
 
   def cond(carry):
-    return jnp.logical_and(carry[3] < cap, jnp.logical_not(carry[4]))
+    return jnp.logical_and(carry[4] < cap, jnp.logical_not(carry[5]))
 
   def body(carry):
-    qacc, jar_d, jar_s, it, _, prev_exact = carry
+    qacc, jar_d, jar_s, jar_c, it, _, prev_exact = carry
     e = qacc - qs
     me = qm @ e
     g = me
@@ -380,12 +462,19 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
       w_s = jnp.where(active_s, s_dvec, 0.0)
       g = g.at[dof_np].add(sgn * (w_s * jar_s))
       h = h.at[dof_np, dof_np].add(w_s)
+    if has_c:
+      _, _, _, bot_c, mid_c = _cone_parts(jar_c, c_s, c_mu)
+      g = g + jnp.einsum('cdn,cd->n', c_j,
+                         cone_grad(jar_c, c_d0, c_s, c_mu))
+      h = h + jnp.einsum('cdn,cde,cem->nm', c_j,
+                         cone_hess(jar_c, c_d0, c_s, c_mu), c_j)
     step = jax.lax.custom_linear_solve(
         lambda v: h @ v, g,
         solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
         symmetric=True)
     js_d = j @ step if has_d else jar_d
     js_s = sgn * step[dof_np] if has_s else jar_s
+    js_c = jnp.einsum('cdn,n->cd', c_j, step) if has_c else jar_c
     sme = step @ me
     sms = step @ (qm @ step)
     eme = e @ me
@@ -400,12 +489,16 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
       jc = jar_s[None, :] - alphas[:, None] * js_s[None, :]
       pc = jnp.where(jc < 0, s_dvec[None, :], 0.0)
       pen = pen + 0.5 * jnp.sum(pc * jc * jc, axis=-1)
+    if has_c:
+      jc = jar_c[None] - alphas[:, None, None] * js_c[None]
+      pen = pen + cone_cost(jc, c_d0, c_s, c_mu)
     costs = 0.5 * eme - alphas * sme + 0.5 * alphas * alphas * sms + pen
     best = jnp.argmin(costs)
     alpha = alphas[best]
     qacc_new = qacc - alpha * step
     jar_d_new = jar_d - alpha * js_d if has_d else jar_d
     jar_s_new = jar_s - alpha * js_s if has_s else jar_s
+    jar_c_new = jar_c - alpha * js_c if has_c else jar_c
     stable = jnp.asarray(True)
     if has_d:
       stable = jnp.logical_and(
@@ -413,22 +506,38 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
     if has_s:
       stable = jnp.logical_and(stable,
                                jnp.all((jar_s_new < 0) == active_s))
+    if has_c:
+      _, _, _, bot_new, mid_new = _cone_parts(jar_c_new, c_s, c_mu)
+      stable = jnp.logical_and(
+          stable, jnp.logical_and(jnp.all(bot_new == bot_c),
+                                  jnp.all(mid_new == mid_c)))
+      # a zone-stable full step is only exact for piecewise-QUADRATIC
+      # cost; the cone middle zone is non-quadratic, so Newton must run
+      # to the step-size tolerance while any contact sits there
+      stable = jnp.logical_and(
+          stable, jnp.logical_not(jnp.any(
+              jnp.logical_and(mid_new, c_d0 > 0))))
     exact = jnp.logical_and(best == 1, stable)
     small = (jnp.linalg.norm(step)
              <= tol * (1.0 + jnp.linalg.norm(qacc_new)))
     done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
-    return (qacc_new, jar_d_new, jar_s_new, it + 1, done, exact)
+    return (qacc_new, jar_d_new, jar_s_new, jar_c_new, it + 1, done,
+            exact)
 
   jar_d0 = j @ qs - aref if has_d else jnp.zeros(0, dtype=dtype)
   jar_s0 = (sgn * qs[dof_np] - s_aref if has_s
             else jnp.zeros(0, dtype=dtype))
+  jar_c0 = (jnp.einsum('cdn,n->cd', c_j, qs) - c_aref if has_c
+            else jnp.zeros((0, 6), dtype=dtype))
   jar_d0 = _tm.match_vma(jar_d0, qs)
   jar_s0 = _tm.match_vma(jar_s0, qs)
+  jar_c0 = _tm.match_vma(jar_c0, qs)
   false0 = _tm.match_vma(jnp.asarray(False), qs)
-  init = (qs, jar_d0, jar_s0, jnp.asarray(0, dtype=jnp.int32), false0,
-          false0)
-  qacc, jar_d, jar_s, _, _, _ = jax.lax.while_loop(cond, body, init)
-  return qacc, jar_d, jar_s
+  init = (qs, jar_d0, jar_s0, jar_c0, jnp.asarray(0, dtype=jnp.int32),
+          false0, false0)
+  qacc, jar_d, jar_s, jar_c, _, _, _ = jax.lax.while_loop(cond, body,
+                                                          init)
+  return qacc, jar_d, jar_s, jar_c
 
 
 # ---------------------------------------------------------------------------
@@ -448,34 +557,43 @@ def make_newton(dof, sign, cap, tol):
   """
 
   @jax.custom_batching.custom_vmap
-  def newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec):
+  def newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
+                  c_aref, c_d0, c_s, c_mu):
     return _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
+                             c_j, c_aref, c_d0, c_s, c_mu,
                              dof=dof, sign=sign, cap=cap, tol=tol)
 
   @newton_impl.def_vmap
   def _newton_vmap(axis_size, in_batched, qm, qs, j, aref, dvec, eqf,
-                   s_aref, s_dvec):
+                   s_aref, s_dvec, c_j, c_aref, c_d0, c_s, c_mu):
     ref = functools.partial(_newton_reference, dof=dof, sign=sign,
                             cap=cap, tol=tol)
     # unbatched operands (broadcast constants, e.g. an absent dense block
     # or a shared mass matrix) are materialized so the kernel still fires
     args = tuple(
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
-        for a, b in zip((qm, qs, j, aref, dvec, eqf, s_aref, s_dvec),
-                        in_batched))
+        for a, b in zip((qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
+                         c_j, c_aref, c_d0, c_s, c_mu), in_batched))
     qs_f = args[1]
     nv = qs_f.shape[-1]
+    # the fused lane kernel handles pyramidal rows only; elliptic-cone
+    # models take the vmapped XLA path
     usable = (qs_f.ndim == 2 and qs_f.shape[0] >= MIN_BATCH
-              and nv <= MAX_NV and qs_f.dtype == jnp.float32 and _on_tpu())
+              and nv <= MAX_NV and qs_f.dtype == jnp.float32
+              and args[10].shape[-1] == 0 and _on_tpu())
     if usable:
-      out = newton_batched(*args, dof=dof, sign=sign, cap=cap, tol=tol)
+      out = newton_batched(*args[:8], dof=dof, sign=sign, cap=cap,
+                           tol=tol)
+      out = out + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),)
     else:
       out = jax.vmap(ref)(*args)
-    return out, (True, True, True)
+    return out, (True, True, True, True)
 
   @jax.custom_jvp
-  def newton(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec):
-    return newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec)
+  def newton(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
+             c_d0, c_s, c_mu):
+    return newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
+                       c_aref, c_d0, c_s, c_mu)
 
   @newton.defjvp
   def _newton_jvp(primals, tangents):
@@ -490,10 +608,13 @@ def make_newton(dof, sign, cap, tol):
     """
     from mujoco_mpc_tpu.ops import pallas_linalg
 
-    qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = primals
-    dqm, dqs, dj, daref, ddvec, _, ds_aref, ds_dvec = tangents
-    qacc, jar_d, jar_s = newton_impl(qm, qs, j, aref, dvec, eqf, s_aref,
-                                     s_dvec)
+    qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0, \
+        c_s, c_mu = primals
+    dqm, dqs, dj, daref, ddvec, _, ds_aref, ds_dvec, dc_j, dc_aref, \
+        dc_d0, _, _ = tangents
+    qacc, jar_d, jar_s, jar_c = newton_impl(qm, qs, j, aref, dvec, eqf,
+                                            s_aref, s_dvec, c_j, c_aref,
+                                            c_d0, c_s, c_mu)
     nv = qs.shape[-1]
     n = j.shape[-2]
     ns = s_aref.shape[-1]
@@ -516,6 +637,12 @@ def make_newton(dof, sign, cap, tol):
         ds_aref, jax.custom_derivatives.SymbolicZero) else ds_aref
     ds_dvec = zero(s_dvec) if isinstance(
         ds_dvec, jax.custom_derivatives.SymbolicZero) else ds_dvec
+    dc_j = zero(c_j) if isinstance(
+        dc_j, jax.custom_derivatives.SymbolicZero) else dc_j
+    dc_aref = zero(c_aref) if isinstance(
+        dc_aref, jax.custom_derivatives.SymbolicZero) else dc_aref
+    dc_d0 = zero(c_d0) if isinstance(
+        dc_d0, jax.custom_derivatives.SymbolicZero) else dc_d0
 
     e = qacc - qs
     h = qm + _DAMP * jnp.eye(nv, dtype=dtype)
@@ -534,6 +661,18 @@ def make_newton(dof, sign, cap, tol):
       h = h.at[dof_np, dof_np].add(w_s)
       rhs = rhs.at[dof_np].add(
           sgn * (dw_s * jar_s + w_s * (-ds_aref)))
+    nc = c_d0.shape[-1]
+    if nc > 0:
+      # frozen-zone cone tangent: g_cone is linear in d0 and smooth in
+      # jar within a zone; s/mu are static model constants (zero tangent)
+      hc = cone_hess(jar_c, c_d0, c_s, c_mu)
+      g_cone = cone_grad(jar_c, c_d0, c_s, c_mu)
+      h = h + jnp.einsum('cdn,cde,cem->nm', c_j, hc, c_j)
+      djar_dir = jnp.einsum('cdn,n->cd', dc_j, qacc) - dc_aref
+      rhs = (rhs + jnp.einsum('cdn,cd->n', dc_j, g_cone)
+             + jnp.einsum('cdn,cde,ce->n', c_j, hc, djar_dir)
+             + jnp.einsum('cdn,cd->n', c_j,
+                          cone_grad(jar_c, dc_d0, c_s, c_mu)))
     dqacc = -jax.lax.custom_linear_solve(
         lambda v: h @ v, rhs,
         solve=lambda _mv, b: pallas_linalg.solve_spd(h, b),
@@ -546,6 +685,11 @@ def make_newton(dof, sign, cap, tol):
       djar_s = sgn * dqacc[dof_np] - ds_aref
     else:
       djar_s = jnp.zeros_like(jar_s)
-    return (qacc, jar_d, jar_s), (dqacc, djar_d, djar_s)
+    if nc > 0:
+      djar_c = (jnp.einsum('cdn,n->cd', dc_j, qacc)
+                + jnp.einsum('cdn,n->cd', c_j, dqacc) - dc_aref)
+    else:
+      djar_c = jnp.zeros_like(jar_c)
+    return (qacc, jar_d, jar_s, jar_c), (dqacc, djar_d, djar_s, djar_c)
 
   return newton

@@ -468,7 +468,7 @@ def _contact_groups(m: Model, d: Data):
   return groups
 
 
-def contact_blocks(m: Model, d: Data):
+def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
   """Contact constraint rows, one ContactBlock per condim group.
 
   Pyramidal friction (MuJoCo default cone): a condim-c contact contributes
@@ -499,7 +499,7 @@ def contact_blocks(m: Model, d: Data):
 
   blocks = []
   for condim, g in groups.items():
-    if g is None:
+    if g is None or condim not in condims:
       continue
     pos3 = jnp.stack(g['pos3'])                      # (P, 3)
     normal = jnp.stack(g['normal'])
@@ -574,6 +574,127 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
   return _concat_rows([b.rows for b in contact_blocks(m, d)])
 
 
+class ConeRows(NamedTuple):
+  """Elliptic-cone contact rows (MJCF <option cone="elliptic"/>).
+
+  One entry per condim>1 contact, padded to 6 rows (normal, t1, t2,
+  torsion, roll1, roll2) — padded friction dims carry s=0 so they drop
+  out of every zone formula. The per-contact cost (validated against
+  mj_constraintUpdate, see tests/test_elliptic.py) with N = jar[0],
+  T = ||jar[1:] * s|| (s_i = mu_i/mu0):
+
+    satisfied (mu0 T <= N):        0
+    bottom    (T <= -mu0 N):       0.5 * sum_i d0 s_i^2 jar_i^2
+    middle    (otherwise):         0.5 * d0/(1+mu0^2) * (mu0 T - N)^2
+
+  matching MuJoCo's per-row efc_D = D0 (mu_i/mu0)^2 and the cone-zone
+  force f_N = D0/(1+mu0^2) (mu0 T - N) observed from the C oracle."""
+  j: jax.Array      # (C, 6, nv) contact-frame rows
+  pos: jax.Array    # (C,) normal penetration (dist - margin)
+  aref: jax.Array   # (C, 6) reference acceleration per row
+  d0: jax.Array     # (C,) normal-row weight (0 when contact inactive)
+  s: jax.Array      # (C, 5) friction scale mu_i/mu0 per friction row
+  mu: jax.Array     # (C,) mu0 (sliding friction)
+
+
+class ConeBlock(NamedTuple):
+  rows: ConeRows
+  pos3: jax.Array   # (C, 3) world contact points
+  frame: jax.Array  # (C, 3, 3) rows (normal, t1, t2)
+  b1: np.ndarray
+  b2: np.ndarray
+
+
+def cone_contact_blocks(m: Model, d: Data) -> ConeBlock | None:
+  """Elliptic contact rows: every condim>1 contact padded to 6 rows.
+
+  Same point-stacked assembly as contact_blocks, but rows are the raw
+  contact-frame Jacobians (no pyramidal facet expansion): the mu scaling
+  lives in the zone cost, exactly as MuJoCo's elliptic efc rows."""
+  from mujoco_mpc_tpu.physics import collision, structure
+
+  if not m.collision_pairs:
+    return None
+  dtype = d.qpos.dtype
+  groups = _contact_groups(m, d)
+
+  a_body = np.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
+  rootid = np.asarray(m.body_rootid, dtype=np.int32)
+
+  parts = []
+  for condim in (3, 4, 6):
+    g = groups.get(condim)
+    if g is None:
+      continue
+    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
+    normal = jnp.stack(g['normal'])
+    dist = jnp.stack(g['dist'])
+    margin = jnp.stack(g['margin'])
+    solref = jnp.stack(g['solref'])
+    solimp = jnp.stack(g['solimp'])
+    mu = jnp.stack(g['mu'])                          # (P, 3)
+    invw = jnp.stack(g['invw'])
+    b1_arr = np.asarray(g['b1'], dtype=np.int32)
+    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+    p = pos3.shape[0]
+
+    pos = dist - margin
+    k, b, imp = kbi(solref, solimp, pos)             # (P,)
+    d0 = imp / (1.0 - imp) / jnp.maximum(invw, 1e-12)
+    d0 = jnp.where(pos < 0.0, d0, 0.0)               # inactive -> no force
+
+    def batch_jac(bodies):
+      off = pos3 - d.subtree_com[rootid[bodies]]
+      jp = (d.cdof[None, :, 3:]
+            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+      mask = jnp.asarray(a_body[bodies], dtype=dtype)[:, :, None]
+      return jp * mask, d.cdof[None, :, :3] * mask   # (P, nv, 3)
+
+    jp1, jr1 = batch_jac(b1_arr)
+    jp2, jr2 = batch_jac(b2_arr)
+    jp = jp2 - jp1
+    jr = jr2 - jr1
+    t1, t2 = collision._make_frames(normal)
+    dirs = jnp.stack([normal, t1, t2], axis=1)       # (P, 3, 3)
+    jtrans = jnp.einsum('pns,pds->pdn', jp, dirs)    # (P, 3, nv)
+    jrot = jnp.einsum('pns,pds->pdn', jr, dirs)      # (P, 3, nv)
+    jfull = jnp.concatenate([jtrans, jrot], axis=1)  # (P, 6, nv)
+
+    # friction scale s_i = mu_i / mu0 per row (0 marks a padded dim)
+    mu0 = mu[:, 0]
+    one = jnp.ones_like(mu0)
+    zerop = jnp.zeros_like(mu0)
+    tor = mu[:, 1] / mu0
+    rol = mu[:, 2] / mu0
+    if condim == 3:
+      s = jnp.stack([one, one, zerop, zerop, zerop], axis=1)
+    elif condim == 4:
+      s = jnp.stack([one, one, tor, zerop, zerop], axis=1)
+    else:
+      s = jnp.stack([one, one, tor, rol, rol], axis=1)
+    row_on = jnp.concatenate([jnp.ones((p, 1), dtype=dtype),
+                              (s > 0).astype(dtype)], axis=1)  # (P, 6)
+    jfull = jfull * row_on[:, :, None]
+
+    # aref: normal row -b v - k imp pos; friction rows -b v (pos = 0)
+    vel = jnp.einsum('pdn,n->pd', jfull, d.qvel)     # (P, 6)
+    aref = -b[:, None] * vel
+    aref = aref.at[:, 0].add(-k * imp * pos)
+
+    parts.append((ConeRows(jfull, pos, aref, d0, s, mu0),
+                  pos3, jnp.stack([normal, t1, t2], axis=1), b1_arr,
+                  b2_arr))
+  if not parts:
+    return None
+  rows = ConeRows(*(jnp.concatenate(x) for x in zip(*[p[0] for p in parts])))
+  return ConeBlock(rows=rows,
+                   pos3=jnp.concatenate([p[1] for p in parts]),
+                   frame=jnp.concatenate([p[2] for p in parts]),
+                   b1=np.concatenate([p[3] for p in parts]),
+                   b2=np.concatenate([p[4] for p in parts]))
+
+
 class ContactForces(NamedTuple):
   """Decoded per-point contact wrenches (analog of mj_contactForce).
 
@@ -597,6 +718,8 @@ def contact_forces(m: Model, d: Data) -> ContactForces | None:
   decoding mj_contactForce applies to pyramidal cones). Evaluated on
   demand by force/torque/touch sensors (physics/sensors.py) — the rollout
   hot loop never pays for it."""
+  if m.opt.cone == 1:
+    return _contact_forces_elliptic(m, d)
   blocks = contact_blocks(m, d)
   if not blocks:
     return None
@@ -631,6 +754,41 @@ def contact_forces(m: Model, d: Data) -> ContactForces | None:
       b2=np.concatenate(b2_l))
 
 
+def _contact_forces_elliptic(m: Model, d: Data) -> ContactForces | None:
+  """Elliptic decode: cone rows map 1:1 to contact-frame force dims
+  (f = -d cost / d jar), plus the condim-1 normal rows."""
+  from mujoco_mpc_tpu.ops import pallas_newton
+
+  pos_l, frame_l, f6_l, b1_l, b2_l = [], [], [], [], []
+  for blk in contact_blocks(m, d, condims=(1,)):
+    rows = blk.rows
+    jar = rows.j @ d.qacc - rows.aref
+    dvec = jnp.where(rows.active, rows.d, 0.0)
+    fn = jnp.where(jar < 0, -dvec * jar, 0.0)
+    zero = jnp.zeros_like(fn)
+    pos_l.append(blk.pos)
+    frame_l.append(blk.frame)
+    f6_l.append(jnp.stack([fn, zero, zero, zero, zero, zero], axis=1))
+    b1_l.append(blk.b1)
+    b2_l.append(blk.b2)
+  cblk = cone_contact_blocks(m, d)
+  if cblk is not None:
+    cr = cblk.rows
+    jar_c = jnp.einsum('cdn,n->cd', cr.j, d.qacc) - cr.aref
+    f6 = -pallas_newton.cone_grad(jar_c, cr.d0, cr.s, cr.mu)
+    pos_l.append(cblk.pos3)
+    frame_l.append(cblk.frame)
+    f6_l.append(f6)
+    b1_l.append(cblk.b1)
+    b2_l.append(cblk.b2)
+  if not pos_l:
+    return None
+  return ContactForces(
+      pos=jnp.concatenate(pos_l), frame=jnp.concatenate(frame_l),
+      force6=jnp.concatenate(f6_l), b1=np.concatenate(b1_l),
+      b2=np.concatenate(b2_l))
+
+
 def _concat_rows(blocks) -> Rows | None:
   blocks = [b for b in blocks if b is not None]
   if not blocks:
@@ -647,15 +805,27 @@ def make_rows(m: Model, d: Data):
 
 
 def make_rows_split(m: Model, d: Data):
-  """(dense Rows | None, ScalarRows | None): joint limits kept one-hot
-  so the Newton solve never materializes their J block."""
+  """(dense Rows | None, ScalarRows | None, ConeRows | None): joint
+  limits kept one-hot so the Newton solve never materializes their J
+  block; under <option cone="elliptic"/> the condim>1 contacts move to
+  grouped cone rows (condim-1 contacts stay one-sided dense rows)."""
+  if m.opt.cone == 1:
+    contact = _concat_rows(
+        [b.rows for b in contact_blocks(m, d, condims=(1,))]) \
+        if m.collision_pairs else None
+    cone_blk = cone_contact_blocks(m, d)
+    cone = cone_blk.rows if cone_blk is not None else None
+  else:
+    contact = _contact_rows(m, d)
+    cone = None
   dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
-                        _contact_rows(m, d)])
-  return dense, _limit_rows_scalar(m, d)
+                        contact])
+  return dense, _limit_rows_scalar(m, d), cone
 
 
 def solve(m: Model, d: Data, rows: Rows | None,
-          scalar: ScalarRows | None = None, max_iterations: int = None,
+          scalar: ScalarRows | None = None,
+          cone: ConeRows | None = None, max_iterations: int = None,
           tolerance: float = None) -> Data:
   """Primal Newton solve for qacc given constraint rows.
 
@@ -680,7 +850,7 @@ def solve(m: Model, d: Data, rows: Rows | None,
     max_iterations = m.opt.iterations
   if tolerance is None:
     tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
-  if rows is None and scalar is None:
+  if rows is None and scalar is None and cone is None:
     return d.replace(qfrc_constraint=_tm.match_vma(
         jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
 
@@ -705,11 +875,21 @@ def solve(m: Model, d: Data, rows: Rows | None,
     dof, sign = (), ()
     aref_s = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
     dvec_s = aref_s
+  if cone is not None:
+    c_j, c_aref, c_d0 = cone.j, cone.aref, cone.d0
+    c_s, c_mu = cone.s, cone.mu
+  else:
+    c_j = _tm.match_vma(jnp.zeros((0, 6, m.nv), dtype=dtype), d.qpos)
+    c_aref = _tm.match_vma(jnp.zeros((0, 6), dtype=dtype), d.qpos)
+    c_d0 = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
+    c_s = _tm.match_vma(jnp.zeros((0, 5), dtype=dtype), d.qpos)
+    c_mu = c_d0
 
   newton = pallas_newton.make_newton(dof, sign, int(max_iterations),
                                      float(tolerance))
-  qacc, jar_d, jar_s = newton(qm, qacc_smooth, j_mat, aref_d, dvec_d,
-                              eqf, aref_s, dvec_s)
+  qacc, jar_d, jar_s, jar_c = newton(qm, qacc_smooth, j_mat, aref_d,
+                                     dvec_d, eqf, aref_s, dvec_s, c_j,
+                                     c_aref, c_d0, c_s, c_mu)
 
   qfrc_constraint = _tm.match_vma(jnp.zeros(m.nv, dtype=dtype), qacc)
   if rows is not None:
@@ -721,4 +901,7 @@ def solve(m: Model, d: Data, rows: Rows | None,
     sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
     qfrc_constraint = qfrc_constraint.at[np.asarray(dof, dtype=np.int32)
                                          ].add(sgn * f_s)
+  if cone is not None:
+    f_c = -pallas_newton.cone_grad(jar_c, c_d0, c_s, c_mu)
+    qfrc_constraint = qfrc_constraint + jnp.einsum('cdn,cd->n', c_j, f_c)
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

@@ -75,8 +75,8 @@ def forward(m: Model, d: Data) -> Data:
   d = d.replace(qfrc_constraint=tm.match_vma(
       jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
   d = fwd_acceleration(m, d)  # qacc_smooth
-  rows, scalar = constraint.make_rows_split(m, d)
-  d = constraint.solve(m, d, rows, scalar)
+  rows, scalar, cone = constraint.make_rows_split(m, d)
+  d = constraint.solve(m, d, rows, scalar, cone)
   return d
 
 

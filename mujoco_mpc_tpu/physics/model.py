@@ -97,6 +97,10 @@ class Option:
   # under vmap the Newton while_loop runs until the WORST sample converges,
   # so batched planning models set a small explicit cap in their XML.
   iterations: int = _static(100)
+  # friction-cone type (MJCF <option cone=.../>): 0 pyramidal, 1 elliptic
+  # (mjtCone). Reference tasks fingers / manipulation / a1-quadruped /
+  # aloha-bimanual set cone="elliptic".
+  cone: int = _static(0)
 
 
 @struct.dataclass
@@ -186,6 +190,9 @@ class Model:
   body_ipos: jax.Array = None       # (nbody, 3)
   body_iquat: jax.Array = None      # (nbody, 4)
   body_mass: jax.Array = None       # (nbody,)
+  body_gravcomp: jax.Array = None   # (nbody,) gravity compensation [0, 1]
+  # static: any body has gravcomp (skips the passive-force term otherwise)
+  any_gravcomp: bool = _static(False)
   body_subtreemass: jax.Array = None  # (nbody,)
   body_inertia: jax.Array = None    # (nbody, 3)
   jnt_pos: jax.Array = None         # (njnt, 3)
@@ -258,6 +265,7 @@ class Model:
   # keyframes
   key_qpos: jax.Array = None        # (nkey, nq)
   key_qvel: jax.Array = None        # (nkey, nv)
+  key_act: jax.Array = None         # (nkey, na)
   key_ctrl: jax.Array = None        # (nkey, nu)
 
   opt: Option = None
@@ -600,6 +608,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       viscosity=f(mj.opt.viscosity),
       integrator=int(mj.opt.integrator),
       iterations=int(mj.opt.iterations),
+      cone=int(mj.opt.cone),
   )
 
   return Model(
@@ -673,6 +682,8 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       body_ipos=f(mj.body_ipos),
       body_iquat=f(mj.body_iquat),
       body_mass=f(mj.body_mass),
+      body_gravcomp=f(mj.body_gravcomp),
+      any_gravcomp=bool(np.any(mj.body_gravcomp > 0)),
       body_subtreemass=f(mj.body_subtreemass),
       body_inertia=f(mj.body_inertia),
       jnt_pos=f(mj.jnt_pos),
@@ -726,6 +737,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       dof_ancestor_mask=jnp.asarray(mask),
       key_qpos=f(mj.key_qpos) if mj.nkey else jnp.zeros((0, mj.nq), dtype),
       key_qvel=f(mj.key_qvel) if mj.nkey else jnp.zeros((0, mj.nv), dtype),
+      key_act=f(mj.key_act) if mj.nkey else jnp.zeros((0, mj.na), dtype),
       key_ctrl=f(mj.key_ctrl) if mj.nkey else jnp.zeros((0, mj.nu), dtype),
       opt=opt,
   )

@@ -148,6 +148,21 @@ def passive(m: Model, d: Data) -> Data:
       qfrc = qfrc.at[quat_d.reshape(-1)].add(
           (-m.jnt_stiffness[qj][:, None] * rot).reshape(-1))
 
+  # body gravity compensation (MJCF body gravcomp, mj_gravcomp semantics):
+  # force -gravcomp * mass * gravity applied at each body CoM (reference
+  # fingers task floats its bodies with gravcomp="1")
+  if m.any_gravcomp:
+    from mujoco_mpc_tpu.physics import structure
+    a_body = jnp.asarray(structure.body_ancestor_dof_mask(
+        m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv), dtype)
+    off = d.xipos - d.subtree_com[jnp.array(m.body_rootid)]
+    jacp = (d.cdof[None, :, 3:]
+            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+    f = (-(m.body_gravcomp * m.body_mass)[:, None]
+         * m.opt.gravity[None, :])                        # (nbody, 3)
+    qfrc = qfrc + jnp.einsum('bi,bi->i', a_body,
+                             jnp.einsum('bis,bs->bi', jacp, f))
+
   return d.replace(qfrc_passive=qfrc.astype(dtype))
 
 

@@ -10,9 +10,15 @@ the SAME task configuration (model, cost terms, weights, planner settings)
 can be planned by this framework and compared against a MuJoCo oracle
 (tests/test_reference_parity.py).
 
-Supported tasks (all mesh-free): Cartpole, Acrobot, Swimmer, Walker.
+Supported tasks (all mesh-free): Cartpole, Acrobot, Swimmer, Walker, and
+the self-contained Fingers (elliptic condim-6 cones, implicit integrator).
 Residual semantics: mjpc/tasks/{cartpole/cartpole.cc:36-49,
-acrobot/acrobot.cc:36-51, swimmer/swimmer.cc:33-44, walker/walker.cc:38-56}.
+acrobot/acrobot.cc:36-51, swimmer/swimmer.cc:33-44, walker/walker.cc:38-56,
+fingers/fingers.cc:30-57}.
+
+Known config gap: <option noslip_iterations/> (fingers) is ignored — the
+noslip post-pass is not implemented; dynamics parity tests zero it on the
+oracle side.
 """
 
 from __future__ import annotations
@@ -38,6 +44,9 @@ _DM_SOURCE = {
     'walker': 'walker',
 }
 
+# tasks whose task.xml is self-contained (no dm_control base model)
+_SELF_CONTAINED = ('fingers',)
+
 
 def available() -> bool:
   """True if the reference checkout + dm_control + `patch` are present."""
@@ -59,10 +68,9 @@ def assemble_task_xml(task: str, cache_dir: Optional[str] = None) -> str:
   suite XML + reference patch -> <task>_modified.xml, plus the reference's
   task.xml and shared common.xml.
   """
-  import dm_control
-  if task not in _DM_SOURCE:
-    raise ValueError(f'unsupported reference task {task!r}; '
-                     f'supported: {sorted(_DM_SOURCE)}')
+  if task not in _DM_SOURCE and task not in _SELF_CONTAINED:
+    raise ValueError(f'unsupported reference task {task!r}; supported: '
+                     f'{sorted(_DM_SOURCE) + sorted(_SELF_CONTAINED)}')
   if cache_dir is None:
     cache_dir = os.path.join(
         os.environ.get('XDG_CACHE_HOME',
@@ -75,6 +83,14 @@ def assemble_task_xml(task: str, cache_dir: Optional[str] = None) -> str:
     return out_xml
   os.makedirs(task_dir, exist_ok=True)
 
+  if task in _SELF_CONTAINED:
+    shutil.copy(os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks',
+                             'common.xml'),
+                os.path.join(cache_dir, 'common.xml'))
+    shutil.copy(os.path.join(ref_task_dir, 'task.xml'), out_xml)
+    return out_xml
+
+  import dm_control
   dm_xml = os.path.join(os.path.dirname(dm_control.__file__), 'suite',
                         _DM_SOURCE[task] + '.xml')
   base_xml = os.path.join(task_dir, f'{task}.xml')
@@ -164,6 +180,26 @@ def _make_walker_residual(m):
   return residual
 
 
+def _make_fingers_residual(m):
+  # reference: fingers.cc:30-57 — reach (finger_a/b -> object, 3d each),
+  # bring (3 site-pair distances), control
+  fa = _sensor_meta(m, 'finger_a')
+  fb = _sensor_meta(m, 'finger_b')
+  obj = _sensor_meta(m, 'object')
+  pairs = [(_sensor_meta(m, str(i)), _sensor_meta(m, f'{i}t'))
+           for i in range(3)]
+
+  def residual(m_, d, rp):
+    box = _frame_pos(m_, d, *obj)
+    reach_a = _frame_pos(m_, d, *fa) - box
+    reach_b = _frame_pos(m_, d, *fb) - box
+    bring = jnp.stack([
+        jnp.linalg.norm(_frame_pos(m_, d, *p) - _frame_pos(m_, d, *t))
+        for p, t in pairs])
+    return jnp.concatenate([reach_a, reach_b, bring, d.ctrl])
+  return residual
+
+
 def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
   """Build a TaskSpec from the actual reference task configuration.
 
@@ -185,6 +221,8 @@ def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
     residual_fn = _make_swimmer_residual(model)
   elif task == 'walker':
     residual_fn = _make_walker_residual(model)
+  elif task == 'fingers':
+    residual_fn = _make_fingers_residual(model)
   else:
     raise ValueError(task)
 

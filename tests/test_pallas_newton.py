@@ -32,10 +32,23 @@ def _synthetic_problem(key, bsz, nv, n, ns, dtype=jnp.float32):
   return qm, qs, j, aref, dvec, eqf, s_aref, s_dvec
 
 
+def _cone_empty(nv, dtype=jnp.float32, bsz=None):
+  """Empty elliptic-cone operands (pyramidal-only problems)."""
+  lead = () if bsz is None else (bsz,)
+  return (jnp.zeros(lead + (0, 6, nv), dtype=dtype),
+          jnp.zeros(lead + (0, 6), dtype=dtype),
+          jnp.zeros(lead + (0,), dtype=dtype),
+          jnp.zeros(lead + (0, 5), dtype=dtype),
+          jnp.zeros(lead + (0,), dtype=dtype))
+
+
 def _run_both(args, dof, sign, cap=30, tol=1e-6):
+  bsz, nv = args[1].shape
+  cone = _cone_empty(nv, args[1].dtype, bsz)
   ref = jax.vmap(functools.partial(
       pallas_newton._newton_reference, dof=dof, sign=sign, cap=cap,
-      tol=tol))(*args)
+      tol=tol))(*args, *cone)
+  ref = ref[:3]
   got = pallas_newton.newton_batched(*args, dof=dof, sign=sign, cap=cap,
                                      tol=tol, interpret=True)
   return ref, got
@@ -104,14 +117,15 @@ def test_implicit_jvp_matches_loop_jacfwd():
   qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = tuple(
       a[0] for a in args)
   newton = pallas_newton.make_newton(dof, sign, 100, 1e-12)
+  cone = _cone_empty(nv, jnp.float64)
 
   def qacc_of_qs(qs_):
-    return newton(qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec)[0]
+    return newton(qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, *cone)[0]
 
   def qacc_of_qs_ref(qs_):
     return pallas_newton._newton_reference(
-        qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, dof=dof, sign=sign,
-        cap=100, tol=1e-12)[0]
+        qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, *cone, dof=dof,
+        sign=sign, cap=100, tol=1e-12)[0]
 
   got = jax.jacfwd(qacc_of_qs)(qs)
   want = jax.jacfwd(qacc_of_qs_ref)(qs)
@@ -119,12 +133,12 @@ def test_implicit_jvp_matches_loop_jacfwd():
                              rtol=1e-6, atol=1e-8)
 
   def qacc_of_j(j_):
-    return newton(qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec)[0]
+    return newton(qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec, *cone)[0]
 
   def qacc_of_j_ref(j_):
     return pallas_newton._newton_reference(
-        qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec, dof=dof, sign=sign,
-        cap=100, tol=1e-12)[0]
+        qm, qs, j_, aref, dvec, eqf, s_aref, s_dvec, *cone, dof=dof,
+        sign=sign, cap=100, tol=1e-12)[0]
 
   got_j = jax.jacfwd(qacc_of_j)(j)
   want_j = jax.jacfwd(qacc_of_j_ref)(j)
@@ -140,9 +154,10 @@ def test_seam_vmap_falls_back_off_tpu():
   args = _synthetic_problem(jax.random.key(5), 16, nv, n, ns,
                             dtype=jnp.float64)
   newton = pallas_newton.make_newton(dof, sign, 100, 1e-12)
-  got = jax.vmap(newton)(*args)
+  cone = _cone_empty(nv, jnp.float64, 16)
+  got = jax.vmap(newton)(*args, *cone)
   want = jax.vmap(functools.partial(
       pallas_newton._newton_reference, dof=dof, sign=sign, cap=100,
-      tol=1e-12))(*args)
+      tol=1e-12))(*args, *cone)
   for g, w in zip(got, want):
     np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-12)

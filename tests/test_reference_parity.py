@@ -269,3 +269,65 @@ def test_ilqg_plan_rolls_out_identically_on_oracle():
     res_oracle.append(mjd.qpos.copy())
   np.testing.assert_allclose(np.stack(res_ours), np.stack(res_oracle),
                              atol=1e-5)
+
+
+def test_fingers_elliptic_qacc_parity():
+  """Reference Fingers (self-contained, cone=elliptic condim-6, implicit
+  integrator): per-step qacc parity along an oracle trajectory. The
+  noslip post-pass is unsupported (documented in tasks/reference.py), so
+  it is zeroed on the oracle."""
+  spec, mjm = _get('fingers')
+  mjm.opt.noslip_iterations = 0
+  m = spec.model
+  assert m.opt.cone == 1
+  d0 = make_data(m, dtype=jnp.float64)
+  k = m.keyframe_names.index('home')
+  d0 = d0.replace(qpos=m.key_qpos[k], act=m.key_act[k])
+  mjd = mujoco.MjData(mjm)
+  _sync_oracle(mjm, mjd, d0)
+  mjd.act[:] = np.asarray(d0.act)
+  fwd_jit = jax.jit(fwd.forward)
+  worst = 0.0
+  for t in range(30):
+    u = np.asarray(mjd.act).copy() + 0.02 * np.sin(
+        t * 0.3 * (1.0 + np.arange(mjm.nu)))
+    mjd.ctrl[:] = u
+    oracle = mujoco.MjData(mjm)
+    oracle.qpos[:] = mjd.qpos
+    oracle.qvel[:] = mjd.qvel
+    oracle.act[:] = mjd.act
+    oracle.ctrl[:] = u
+    mujoco.mj_forward(mjm, oracle)
+    d = d0.replace(qpos=jnp.asarray(mjd.qpos.copy()),
+                   qvel=jnp.asarray(mjd.qvel.copy()),
+                   act=jnp.asarray(mjd.act.copy()),
+                   ctrl=jnp.asarray(u))
+    d = fwd_jit(m, d)
+    scale = 1.0 + np.abs(oracle.qacc).max()
+    worst = max(worst,
+                np.abs(np.asarray(d.qacc) - oracle.qacc).max() / scale)
+    mujoco.mj_step(mjm, mjd)
+  assert worst < 1e-4, f'fingers worst relative qacc error {worst}'
+
+
+def test_fingers_sampling_improves():
+  """Predictive sampling on the reference Fingers config improves the
+  plan (elliptic contacts on the planner hot path)."""
+  spec, _ = _get('fingers')
+  m = spec.model
+  d0 = make_data(m, dtype=jnp.float64)
+  k = m.keyframe_names.index('home')
+  d0 = d0.replace(qpos=m.key_qpos[k], act=m.key_act[k])
+  t_steps = 25
+  policy = sampling.default_policy(spec, 5, jnp.float64)
+  cfg = sampling.default_config(spec, jnp.float64)
+  ret0 = None
+  key = jax.random.key(0)
+  for i in range(3):
+    key, kk = jax.random.split(key)
+    policy, info = sampling.optimize(
+        spec, policy, d0, spec.default_params, cfg, kk, 16, t_steps,
+        int(spline.Interp.ZERO))
+    if ret0 is None:
+      ret0 = float(info['best_return'])
+  assert float(info['best_return']) <= ret0 + 1e-9
