@@ -166,6 +166,16 @@ class Agent(_BaseClient):
         agent_pb2.GetCostValuesAndWeightsRequest())
     return {k: v.value for k, v in r.values_weights.items()}
 
+  def get_cost_weights(self) -> Dict[str, float]:
+    """Current per-term cost weights (reference agent.py:339)."""
+    r = self.stub.GetCostValuesAndWeights(
+        agent_pb2.GetCostValuesAndWeightsRequest())
+    return {k: v.weight for k, v in r.values_weights.items()}
+
+  def set_task_parameter(self, name: str, value: float):
+    """Single-parameter convenience (reference agent.py:288)."""
+    self.set_task_parameters({name: value})
+
   def get_residuals(self) -> np.ndarray:
     return np.asarray(self.stub.GetResiduals(
         agent_pb2.GetResidualsRequest()).residuals)

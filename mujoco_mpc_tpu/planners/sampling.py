@@ -153,11 +153,9 @@ def rollout_candidates(spec: TaskSpec, d0: Data, times: jax.Array,
                        horizon_steps: int, cfg: SamplingConfig,
                        interp: int) -> jax.Array:
   """Returns (num_candidates,) total returns for all candidates (vmap)."""
-  def one(values):
-    acts = candidate_actions(times, values, horizon_steps, cfg.timestep,
-                             interp)
-    return rollout.rollout_return(spec, d0, acts, params)
-  return jax.vmap(one)(candidates)
+  acts = jax.vmap(lambda values: candidate_actions(
+      times, values, horizon_steps, cfg.timestep, interp))(candidates)
+  return rollout.batched_returns(spec, d0, acts, params)
 
 
 def optimize(spec: TaskSpec, policy: SamplingPolicy, d0: Data,
