@@ -35,7 +35,6 @@ loop: Trajectory::Rollout + ThreadPool fan-out
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
