@@ -425,8 +425,18 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
 # ---------------------------------------------------------------------------
 
 
+def _huber_cost(jc, w, loss):
+  """Frictionloss row cost: 0.5 w jar^2 while |w jar| <= loss, linear
+  loss|jar| - loss^2/(2w) beyond (two-sided; always active)."""
+  quad = jnp.abs(w * jc) <= loss
+  lin = loss * jnp.abs(jc) - 0.5 * loss * loss / jnp.maximum(w, 1e-30)
+  return jnp.where(quad, 0.5 * w * jc * jc, lin)
+
+
 def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
-                      c_aref, c_d0, c_s, c_mu, *, dof, sign, cap, tol):
+                      c_aref, c_d0, c_s, c_mu,
+                      f_aref=None, f_dvec=None, f_loss=None, *,
+                      dof, sign, cap, tol, fdof=()):
   """Single-sample Newton solve (jar-carrying, exact line search)."""
   from mujoco_mpc_tpu.ops import pallas_linalg
   from mujoco_mpc_tpu.utils import tpu_math as _tm
@@ -435,19 +445,26 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
   n = j.shape[0]
   ns = s_aref.shape[0]
   nc = c_d0.shape[0]
+  if f_aref is None:
+    f_aref = jnp.zeros(0, dtype=qs.dtype)
+    f_dvec = f_aref
+    f_loss = f_aref
+  nf = f_aref.shape[0]
   has_d = n > 0
   has_s = ns > 0
   has_c = nc > 0
+  has_f = nf > 0
   dtype = qs.dtype
   eq = eqf > 0.5
   sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
   dof_np = np.asarray(dof, dtype=np.int32)
+  fdof_np = np.asarray(fdof, dtype=np.int32)
 
   def cond(carry):
-    return jnp.logical_and(carry[4] < cap, jnp.logical_not(carry[5]))
+    return jnp.logical_and(carry[5] < cap, jnp.logical_not(carry[6]))
 
   def body(carry):
-    qacc, jar_d, jar_s, jar_c, it, _, prev_exact = carry
+    qacc, jar_d, jar_s, jar_c, jar_f, it, _, prev_exact = carry
     e = qacc - qs
     me = qm @ e
     g = me
@@ -468,6 +485,11 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
                          cone_grad(jar_c, c_d0, c_s, c_mu))
       h = h + jnp.einsum('cdn,cde,cem->nm', c_j,
                          cone_hess(jar_c, c_d0, c_s, c_mu), c_j)
+    if has_f:
+      quad_f = jnp.abs(f_dvec * jar_f) <= f_loss
+      g = g.at[fdof_np].add(
+          jnp.clip(f_dvec * jar_f, -f_loss, f_loss))
+      h = h.at[fdof_np, fdof_np].add(jnp.where(quad_f, f_dvec, 0.0))
     step = jax.lax.custom_linear_solve(
         lambda v: h @ v, g,
         solve=lambda _mv, rhs: pallas_linalg.solve_spd(h, rhs),
@@ -475,6 +497,7 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
     js_d = j @ step if has_d else jar_d
     js_s = sgn * step[dof_np] if has_s else jar_s
     js_c = jnp.einsum('cdn,n->cd', c_j, step) if has_c else jar_c
+    js_f = step[fdof_np] if has_f else jar_f
     sme = step @ me
     sms = step @ (qm @ step)
     eme = e @ me
@@ -492,6 +515,10 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
     if has_c:
       jc = jar_c[None] - alphas[:, None, None] * js_c[None]
       pen = pen + cone_cost(jc, c_d0, c_s, c_mu)
+    if has_f:
+      jc = jar_f[None, :] - alphas[:, None] * js_f[None, :]
+      pen = pen + jnp.sum(_huber_cost(jc, f_dvec[None, :],
+                                      f_loss[None, :]), axis=-1)
     costs = 0.5 * eme - alphas * sme + 0.5 * alphas * alphas * sms + pen
     best = jnp.argmin(costs)
     alpha = alphas[best]
@@ -499,6 +526,7 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
     jar_d_new = jar_d - alpha * js_d if has_d else jar_d
     jar_s_new = jar_s - alpha * js_s if has_s else jar_s
     jar_c_new = jar_c - alpha * js_c if has_c else jar_c
+    jar_f_new = jar_f - alpha * js_f if has_f else jar_f
     stable = jnp.asarray(True)
     if has_d:
       stable = jnp.logical_and(
@@ -517,27 +545,37 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
       stable = jnp.logical_and(
           stable, jnp.logical_not(jnp.any(
               jnp.logical_and(mid_new, c_d0 > 0))))
+    if has_f:
+      # Huber zones (-1: clamped low, 0: quadratic, +1: clamped high) —
+      # piecewise quadratic, so the exact-after-stable exit still holds
+      zone = lambda jf: jnp.sign(jnp.trunc(  # noqa: E731
+          f_dvec * jf / jnp.maximum(f_loss, 1e-30)))
+      stable = jnp.logical_and(stable,
+                               jnp.all(zone(jar_f_new) == zone(jar_f)))
     exact = jnp.logical_and(best == 1, stable)
     small = (jnp.linalg.norm(step)
              <= tol * (1.0 + jnp.linalg.norm(qacc_new)))
     done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
-    return (qacc_new, jar_d_new, jar_s_new, jar_c_new, it + 1, done,
-            exact)
+    return (qacc_new, jar_d_new, jar_s_new, jar_c_new, jar_f_new, it + 1,
+            done, exact)
 
   jar_d0 = j @ qs - aref if has_d else jnp.zeros(0, dtype=dtype)
   jar_s0 = (sgn * qs[dof_np] - s_aref if has_s
             else jnp.zeros(0, dtype=dtype))
   jar_c0 = (jnp.einsum('cdn,n->cd', c_j, qs) - c_aref if has_c
             else jnp.zeros((0, 6), dtype=dtype))
+  jar_f0 = (qs[fdof_np] - f_aref if has_f
+            else jnp.zeros(0, dtype=dtype))
   jar_d0 = _tm.match_vma(jar_d0, qs)
   jar_s0 = _tm.match_vma(jar_s0, qs)
   jar_c0 = _tm.match_vma(jar_c0, qs)
+  jar_f0 = _tm.match_vma(jar_f0, qs)
   false0 = _tm.match_vma(jnp.asarray(False), qs)
-  init = (qs, jar_d0, jar_s0, jar_c0, jnp.asarray(0, dtype=jnp.int32),
-          false0, false0)
-  qacc, jar_d, jar_s, jar_c, _, _, _ = jax.lax.while_loop(cond, body,
-                                                          init)
-  return qacc, jar_d, jar_s, jar_c
+  init = (qs, jar_d0, jar_s0, jar_c0, jar_f0,
+          jnp.asarray(0, dtype=jnp.int32), false0, false0)
+  qacc, jar_d, jar_s, jar_c, jar_f, _, _, _ = jax.lax.while_loop(
+      cond, body, init)
+  return qacc, jar_d, jar_s, jar_c, jar_f
 
 
 # ---------------------------------------------------------------------------
@@ -547,53 +585,60 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
 
 
 @functools.lru_cache(maxsize=None)
-def make_newton(dof, sign, cap, tol):
-  """Newton solve specialized to static (dof, sign, cap, tol).
+def make_newton(dof, sign, cap, tol, fdof=()):
+  """Newton solve specialized to static (dof, sign, cap, tol, fdof).
 
-  Returns fn(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec) ->
-  (qacc, jar_d, jar_s), per-sample signature; vmap dispatches the fused
-  lane-batched kernel on TPU, jacfwd/jvp uses the frozen-active-set
-  implicit tangent.
+  Returns fn(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
+  c_d0, c_s, c_mu, f_aref, f_dvec, f_loss) ->
+  (qacc, jar_d, jar_s, jar_c, jar_f), per-sample signature; vmap
+  dispatches the fused lane-batched kernel on TPU, jacfwd/jvp uses the
+  frozen-active-set implicit tangent.
   """
 
   @jax.custom_batching.custom_vmap
   def newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
-                  c_aref, c_d0, c_s, c_mu):
+                  c_aref, c_d0, c_s, c_mu, f_aref, f_dvec, f_loss):
     return _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
-                             c_j, c_aref, c_d0, c_s, c_mu,
-                             dof=dof, sign=sign, cap=cap, tol=tol)
+                             c_j, c_aref, c_d0, c_s, c_mu, f_aref,
+                             f_dvec, f_loss,
+                             dof=dof, sign=sign, cap=cap, tol=tol,
+                             fdof=fdof)
 
   @newton_impl.def_vmap
   def _newton_vmap(axis_size, in_batched, qm, qs, j, aref, dvec, eqf,
-                   s_aref, s_dvec, c_j, c_aref, c_d0, c_s, c_mu):
+                   s_aref, s_dvec, c_j, c_aref, c_d0, c_s, c_mu, f_aref,
+                   f_dvec, f_loss):
     ref = functools.partial(_newton_reference, dof=dof, sign=sign,
-                            cap=cap, tol=tol)
+                            cap=cap, tol=tol, fdof=fdof)
     # unbatched operands (broadcast constants, e.g. an absent dense block
     # or a shared mass matrix) are materialized so the kernel still fires
     args = tuple(
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
         for a, b in zip((qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
-                         c_j, c_aref, c_d0, c_s, c_mu), in_batched))
+                         c_j, c_aref, c_d0, c_s, c_mu, f_aref, f_dvec,
+                         f_loss), in_batched))
     qs_f = args[1]
     nv = qs_f.shape[-1]
-    # the fused lane kernel handles pyramidal rows only; elliptic-cone
-    # models take the vmapped XLA path
+    # the fused lane kernel handles pyramidal + limit rows only;
+    # elliptic-cone / frictionloss models take the vmapped XLA path
     usable = (qs_f.ndim == 2 and qs_f.shape[0] >= MIN_BATCH
               and nv <= MAX_NV and qs_f.dtype == jnp.float32
-              and args[10].shape[-1] == 0 and _on_tpu())
+              and args[10].shape[-1] == 0 and len(fdof) == 0
+              and _on_tpu())
     if usable:
       out = newton_batched(*args[:8], dof=dof, sign=sign, cap=cap,
                            tol=tol)
-      out = out + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),)
+      out = out + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),
+                   jnp.zeros((axis_size, 0), dtype=qs_f.dtype))
     else:
       out = jax.vmap(ref)(*args)
-    return out, (True, True, True, True)
+    return out, (True, True, True, True, True)
 
   @jax.custom_jvp
   def newton(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
-             c_d0, c_s, c_mu):
+             c_d0, c_s, c_mu, f_aref, f_dvec, f_loss):
     return newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
-                       c_aref, c_d0, c_s, c_mu)
+                       c_aref, c_d0, c_s, c_mu, f_aref, f_dvec, f_loss)
 
   @newton.defjvp
   def _newton_jvp(primals, tangents):
@@ -609,12 +654,12 @@ def make_newton(dof, sign, cap, tol):
     from mujoco_mpc_tpu.ops import pallas_linalg
 
     qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0, \
-        c_s, c_mu = primals
+        c_s, c_mu, f_aref, f_dvec, f_loss = primals
     dqm, dqs, dj, daref, ddvec, _, ds_aref, ds_dvec, dc_j, dc_aref, \
-        dc_d0, _, _ = tangents
-    qacc, jar_d, jar_s, jar_c = newton_impl(qm, qs, j, aref, dvec, eqf,
-                                            s_aref, s_dvec, c_j, c_aref,
-                                            c_d0, c_s, c_mu)
+        dc_d0, _, _, df_aref, df_dvec, df_loss = tangents
+    qacc, jar_d, jar_s, jar_c, jar_f = newton_impl(
+        qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0,
+        c_s, c_mu, f_aref, f_dvec, f_loss)
     nv = qs.shape[-1]
     n = j.shape[-2]
     ns = s_aref.shape[-1]
@@ -643,6 +688,12 @@ def make_newton(dof, sign, cap, tol):
         dc_aref, jax.custom_derivatives.SymbolicZero) else dc_aref
     dc_d0 = zero(c_d0) if isinstance(
         dc_d0, jax.custom_derivatives.SymbolicZero) else dc_d0
+    df_aref = zero(f_aref) if isinstance(
+        df_aref, jax.custom_derivatives.SymbolicZero) else df_aref
+    df_dvec = zero(f_dvec) if isinstance(
+        df_dvec, jax.custom_derivatives.SymbolicZero) else df_dvec
+    df_loss = zero(f_loss) if isinstance(
+        df_loss, jax.custom_derivatives.SymbolicZero) else df_loss
 
     e = qacc - qs
     h = qm + _DAMP * jnp.eye(nv, dtype=dtype)
@@ -661,6 +712,18 @@ def make_newton(dof, sign, cap, tol):
       h = h.at[dof_np, dof_np].add(w_s)
       rhs = rhs.at[dof_np].add(
           sgn * (dw_s * jar_s + w_s * (-ds_aref)))
+    nf = f_aref.shape[-1]
+    if nf > 0:
+      fdof_np = np.asarray(fdof, dtype=np.int32)
+      quad_f = jnp.abs(f_dvec * jar_f) <= f_loss
+      sgn_f = jnp.sign(f_dvec * jar_f)
+      h = h.at[fdof_np, fdof_np].add(jnp.where(quad_f, f_dvec, 0.0))
+      # g_f = clip(w jar, -loss, loss): quadratic zone contributes
+      # dw*jar - w*daref (the dqacc part lives in H); clamped zones are
+      # constant +-loss with tangent +-dloss
+      rhs = rhs.at[fdof_np].add(jnp.where(
+          quad_f, df_dvec * jar_f + f_dvec * (-df_aref),
+          sgn_f * df_loss))
     nc = c_d0.shape[-1]
     if nc > 0:
       # frozen-zone cone tangent: g_cone is linear in d0 and smooth in
@@ -690,6 +753,11 @@ def make_newton(dof, sign, cap, tol):
                 + jnp.einsum('cdn,n->cd', c_j, dqacc) - dc_aref)
     else:
       djar_c = jnp.zeros_like(jar_c)
-    return (qacc, jar_d, jar_s, jar_c), (dqacc, djar_d, djar_s, djar_c)
+    if nf > 0:
+      djar_f = dqacc[np.asarray(fdof, dtype=np.int32)] - df_aref
+    else:
+      djar_f = jnp.zeros_like(jar_f)
+    return ((qacc, jar_d, jar_s, jar_c, jar_f),
+            (dqacc, djar_d, djar_s, djar_c, djar_f))
 
   return newton

@@ -49,6 +49,19 @@ class ScalarRows(NamedTuple):
   active: jax.Array  # (R,) bool
 
 
+class FrictionRows(NamedTuple):
+  """Joint-dof frictionloss rows (mjCNSTR_FRICTION_DOF): J row = e_dof,
+  pos = 0, with a two-sided Huber cost — quadratic 0.5 d jar^2 while
+  |d jar| <= loss, linear loss|jar| - loss^2/(2d) beyond; force =
+  -clip(d jar, -loss, +loss) (verified vs the C oracle, see
+  tests/test_frictionloss.py). One-hot like ScalarRows: the solver uses
+  gathers/scatters, never a dense J block."""
+  dof: np.ndarray    # (F,) int, static
+  aref: jax.Array    # (F,)
+  d: jax.Array       # (F,)
+  loss: jax.Array    # (F,) frictionloss bound (force units)
+
+
 class Rows(NamedTuple):
   """A block of constraint rows (fixed size)."""
   j: jax.Array       # (n, nv) Jacobian
@@ -117,6 +130,22 @@ def _limit_rows_scalar(m: Model, d: Data) -> ScalarRows | None:
   sign = np.concatenate([np.ones(nl), -np.ones(nl)])
   return ScalarRows(dof2, sign, pos, jnp.tile(margin, 2), aref, dd,
                     pos < 0.0)
+
+
+def _friction_rows(m: Model, d: Data) -> FrictionRows | None:
+  """Joint frictionloss rows (see FrictionRows). D comes from the dof's
+  solimpfriction impedance AT pos=0 over dof_invweight0; aref = -B v with
+  B from solreffriction (MuJoCo friction rows carry no position term)."""
+  if not m.friction_dof:
+    return None
+  dofs = np.asarray(m.friction_dof, dtype=np.int32)
+  v = d.qvel[dofs]
+  zero = jnp.zeros_like(v)
+  k, b, imp = kbi(m.dof_friction_solref, m.dof_friction_solimp, zero)
+  del k  # pos = 0: no stiffness term
+  iw = m.dof_invweight0[dofs]
+  dd = imp / (1.0 - imp) / jnp.maximum(iw, 1e-12)
+  return FrictionRows(dofs, -b * v, dd, m.dof_frictionloss)
 
 
 def _limit_rows(m: Model, d: Data) -> Rows | None:
@@ -805,10 +834,11 @@ def make_rows(m: Model, d: Data):
 
 
 def make_rows_split(m: Model, d: Data):
-  """(dense Rows | None, ScalarRows | None, ConeRows | None): joint
-  limits kept one-hot so the Newton solve never materializes their J
-  block; under <option cone="elliptic"/> the condim>1 contacts move to
-  grouped cone rows (condim-1 contacts stay one-sided dense rows)."""
+  """(dense Rows | None, ScalarRows | None, ConeRows | None,
+  FrictionRows | None): joint limits and frictionloss rows kept one-hot
+  so the Newton solve never materializes their J block; under
+  <option cone="elliptic"/> the condim>1 contacts move to grouped cone
+  rows (condim-1 contacts stay one-sided dense rows)."""
   if m.opt.cone == 1:
     contact = _concat_rows(
         [b.rows for b in contact_blocks(m, d, condims=(1,))]) \
@@ -820,12 +850,14 @@ def make_rows_split(m: Model, d: Data):
     cone = None
   dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
                         contact])
-  return dense, _limit_rows_scalar(m, d), cone
+  return dense, _limit_rows_scalar(m, d), cone, _friction_rows(m, d)
 
 
 def solve(m: Model, d: Data, rows: Rows | None,
           scalar: ScalarRows | None = None,
-          cone: ConeRows | None = None, max_iterations: int = None,
+          cone: ConeRows | None = None,
+          friction: FrictionRows | None = None,
+          max_iterations: int = None,
           tolerance: float = None) -> Data:
   """Primal Newton solve for qacc given constraint rows.
 
@@ -850,7 +882,7 @@ def solve(m: Model, d: Data, rows: Rows | None,
     max_iterations = m.opt.iterations
   if tolerance is None:
     tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
-  if rows is None and scalar is None and cone is None:
+  if rows is None and scalar is None and cone is None and friction is None:
     return d.replace(qfrc_constraint=_tm.match_vma(
         jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
 
@@ -884,12 +916,20 @@ def solve(m: Model, d: Data, rows: Rows | None,
     c_d0 = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
     c_s = _tm.match_vma(jnp.zeros((0, 5), dtype=dtype), d.qpos)
     c_mu = c_d0
+  if friction is not None:
+    fdof = tuple(int(x) for x in friction.dof)
+    aref_f, dvec_f, loss_f = friction.aref, friction.d, friction.loss
+  else:
+    fdof = ()
+    aref_f = _tm.match_vma(jnp.zeros(0, dtype=dtype), d.qpos)
+    dvec_f = aref_f
+    loss_f = aref_f
 
   newton = pallas_newton.make_newton(dof, sign, int(max_iterations),
-                                     float(tolerance))
-  qacc, jar_d, jar_s, jar_c = newton(qm, qacc_smooth, j_mat, aref_d,
-                                     dvec_d, eqf, aref_s, dvec_s, c_j,
-                                     c_aref, c_d0, c_s, c_mu)
+                                     float(tolerance), fdof=fdof)
+  qacc, jar_d, jar_s, jar_c, jar_f = newton(
+      qm, qacc_smooth, j_mat, aref_d, dvec_d, eqf, aref_s, dvec_s, c_j,
+      c_aref, c_d0, c_s, c_mu, aref_f, dvec_f, loss_f)
 
   qfrc_constraint = _tm.match_vma(jnp.zeros(m.nv, dtype=dtype), qacc)
   if rows is not None:
@@ -904,4 +944,8 @@ def solve(m: Model, d: Data, rows: Rows | None,
   if cone is not None:
     f_c = -pallas_newton.cone_grad(jar_c, c_d0, c_s, c_mu)
     qfrc_constraint = qfrc_constraint + jnp.einsum('cdn,cd->n', c_j, f_c)
+  if friction is not None:
+    f_f = -jnp.clip(dvec_f * jar_f, -loss_f, loss_f)
+    qfrc_constraint = qfrc_constraint.at[
+        np.asarray(fdof, dtype=np.int32)].add(f_f)
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

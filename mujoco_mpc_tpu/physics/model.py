@@ -101,6 +101,9 @@ class Option:
   # (mjtCone). Reference tasks fingers / manipulation / a1-quadruped /
   # aloha-bimanual set cone="elliptic".
   cone: int = _static(0)
+  # noslip post-pass sweeps (MJCF <option noslip_iterations=.../>), static:
+  # 0 disables the pass entirely (no traced ops). See physics/noslip.py.
+  noslip_iterations: int = _static(0)
 
 
 @struct.dataclass
@@ -205,6 +208,13 @@ class Model:
   dof_damping: jax.Array = None     # (nv,)
   dof_armature: jax.Array = None    # (nv,)
   dof_invweight0: jax.Array = None  # (nv,)
+  # dofs with joint frictionloss > 0 (static set; menagerie robot models —
+  # shadow hand, a1, aloha — set it on most joints). Per friction dof:
+  # loss bound, solreffriction/solimpfriction (constraint.py friction rows)
+  friction_dof: Tuple[int, ...] = _static(())
+  dof_frictionloss: jax.Array = None     # (nf,)
+  dof_friction_solref: jax.Array = None  # (nf, 2)
+  dof_friction_solimp: jax.Array = None  # (nf, 5)
   geom_pos: jax.Array = None        # (ngeom, 3)
   geom_quat: jax.Array = None       # (ngeom, 4)
   geom_size: jax.Array = None       # (ngeom, 3)
@@ -409,6 +419,18 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
   clampctrl_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_CLAMPCTRL)
   equality_disabled = bool(dis & mujoco.mjtDisableBit.mjDSBL_EQUALITY) or bool(
       dis & mujoco.mjtDisableBit.mjDSBL_CONSTRAINT)
+  friction_disabled = bool(
+      dis & mujoco.mjtDisableBit.mjDSBL_FRICTIONLOSS) or bool(
+      dis & mujoco.mjtDisableBit.mjDSBL_CONSTRAINT)
+
+  # static set of dofs with joint friction rows (constraint.py Huber rows)
+  friction_dof = () if friction_disabled else tuple(
+      int(i) for i in np.flatnonzero(mj.dof_frictionloss > 0))
+  if not friction_disabled and mj.ntendon and np.any(
+      mj.tendon_frictionloss > 0):
+    raise NotImplementedError(
+        'tendon frictionloss is not supported (joint/dof frictionloss is); '
+        'set tendon frictionloss=0 or disable the frictionloss flag')
 
   nv = mj.nv
   # dense ancestor mask from dof_parentid: mask[i, j] = j is ancestor-or-self
@@ -609,6 +631,7 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       integrator=int(mj.opt.integrator),
       iterations=int(mj.opt.iterations),
       cone=int(mj.opt.cone),
+      noslip_iterations=int(mj.opt.noslip_iterations),
   )
 
   return Model(
@@ -696,6 +719,10 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       dof_damping=f(mj.dof_damping),
       dof_armature=f(mj.dof_armature),
       dof_invweight0=f(mj.dof_invweight0),
+      friction_dof=friction_dof,
+      dof_frictionloss=f(mj.dof_frictionloss[list(friction_dof)]),
+      dof_friction_solref=f(mj.dof_solref[list(friction_dof)]),
+      dof_friction_solimp=f(mj.dof_solimp[list(friction_dof)]),
       geom_pos=f(mj.geom_pos),
       geom_quat=f(mj.geom_quat),
       geom_size=f(mj.geom_size),

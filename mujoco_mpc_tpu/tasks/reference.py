@@ -16,9 +16,9 @@ Residual semantics: mjpc/tasks/{cartpole/cartpole.cc:36-49,
 acrobot/acrobot.cc:36-51, swimmer/swimmer.cc:33-44, walker/walker.cc:38-56,
 fingers/fingers.cc:30-57}.
 
-Known config gap: <option noslip_iterations/> (fingers) is ignored — the
-noslip post-pass is not implemented; dynamics parity tests zero it on the
-oracle side.
+The fingers config's <option noslip_iterations="5"/> runs the noslip
+post-pass (physics/noslip.py) on both engines; dynamics parity tests
+compare with it active.
 """
 
 from __future__ import annotations
@@ -42,10 +42,15 @@ _DM_SOURCE = {
     'acrobot': 'acrobot',
     'swimmer': 'swimmer',
     'walker': 'walker',
+    'particle': 'point_mass',
 }
 
 # tasks whose task.xml is self-contained (no dm_control base model)
 _SELF_CONTAINED = ('fingers',)
+
+# tasks whose loadable config is not named task.xml (reference
+# Particle/ParticleFixed load task_timevarying.xml, particle.cc:24)
+_TASK_XML = {'particle': 'task_timevarying.xml'}
 
 
 def available() -> bool:
@@ -102,7 +107,8 @@ def assemble_task_xml(task: str, cache_dir: Optional[str] = None) -> str:
                    check=True)
   shutil.copy(os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks', 'common.xml'),
               os.path.join(cache_dir, 'common.xml'))
-  shutil.copy(os.path.join(ref_task_dir, 'task.xml'), out_xml)
+  shutil.copy(os.path.join(ref_task_dir, _TASK_XML.get(task, 'task.xml')),
+              out_xml)
   return out_xml
 
 
@@ -180,6 +186,26 @@ def _make_walker_residual(m):
   return residual
 
 
+def _make_particle_residual(m, fixed=False):
+  # reference: particle.cc:36-56 — position - goal (2d), velocity (2d),
+  # control (2d). Particle tracks a Lissajous goal analytic in time
+  # (particle.cc:55-56: 0.25 sin(t), 0.25 cos(t/pi)); ParticleFixed reads
+  # the goal mocap body.
+  pos_t, pos_i = _sensor_meta(m, 'position')
+  vel_t, vel_i = _sensor_meta(m, 'velocity')
+
+  def residual(m_, d, rp):
+    if fixed:
+      goal = d.mocap_pos[0][:2]
+    else:
+      goal = 0.25 * jnp.stack([jnp.sin(d.time),
+                               jnp.cos(d.time / jnp.pi)])
+    pos = _frame_pos(m_, d, pos_t, pos_i)[:2]
+    vel = support.site_linvel(m_, d, vel_i)[:2]
+    return jnp.concatenate([pos - goal, vel, d.ctrl])
+  return residual
+
+
 def _make_fingers_residual(m):
   # reference: fingers.cc:30-57 — reach (finger_a/b -> object, 3d each),
   # bring (3 site-pair distances), control
@@ -221,6 +247,8 @@ def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
     residual_fn = _make_swimmer_residual(model)
   elif task == 'walker':
     residual_fn = _make_walker_residual(model)
+  elif task == 'particle':
+    residual_fn = _make_particle_residual(model)
   elif task == 'fingers':
     residual_fn = _make_fingers_residual(model)
   else:

@@ -200,7 +200,7 @@ def test_elliptic_jacfwd_tangent():
 
   def qacc_of(qs_, c_aref_):
     return newton(qm, qs_, z2, z1, z1, z1, z1, z1, c_j, c_aref_, c_d0,
-                  c_s, c_mu)[0]
+                  c_s, c_mu, z1, z1, z1)[0]
 
   # both cone zones are exercised at the solution
   q0 = qacc_of(qs, c_aref)

@@ -33,12 +33,16 @@ def _synthetic_problem(key, bsz, nv, n, ns, dtype=jnp.float32):
 
 
 def _cone_empty(nv, dtype=jnp.float32, bsz=None):
-  """Empty elliptic-cone operands (pyramidal-only problems)."""
+  """Empty elliptic-cone + frictionloss operands (pyramidal-only
+  problems)."""
   lead = () if bsz is None else (bsz,)
   return (jnp.zeros(lead + (0, 6, nv), dtype=dtype),
           jnp.zeros(lead + (0, 6), dtype=dtype),
           jnp.zeros(lead + (0,), dtype=dtype),
           jnp.zeros(lead + (0, 5), dtype=dtype),
+          jnp.zeros(lead + (0,), dtype=dtype),
+          jnp.zeros(lead + (0,), dtype=dtype),
+          jnp.zeros(lead + (0,), dtype=dtype),
           jnp.zeros(lead + (0,), dtype=dtype))
 
 

@@ -28,7 +28,7 @@ from mujoco_mpc_tpu.tasks import reference as ref
 pytestmark = pytest.mark.skipif(not ref.available(),
                                 reason='reference checkout unavailable')
 
-TASKS = ['cartpole', 'acrobot', 'swimmer', 'walker']
+TASKS = ['cartpole', 'acrobot', 'swimmer', 'walker', 'particle']
 
 
 def _get(task):
@@ -150,6 +150,12 @@ def _oracle_residual(task, spec, mjm, mjd):
     com_vel = sens('torso_subtreelinvel')[0]
     return np.concatenate([
         mjd.ctrl, [height - rp[0], torso_up - 1.0, com_vel - rp[1]]])
+  if task == 'particle':
+    # reference particle.cc:36-56 (Lissajous goal analytic in time)
+    goal = np.array([0.25 * np.sin(mjd.time),
+                     0.25 * np.cos(mjd.time / np.pi)])
+    return np.concatenate([sens('position')[:2] - goal,
+                           sens('velocity')[:2], mjd.ctrl])
   raise ValueError(task)
 
 
@@ -172,7 +178,7 @@ def _oracle_returns(task, spec, mjm, d0, actions):
   return np.array(returns)
 
 
-@pytest.mark.parametrize('task', ['cartpole', 'swimmer'])
+@pytest.mark.parametrize('task', ['cartpole', 'swimmer', 'particle'])
 def test_planner_scoring_parity(task):
   """Candidate returns from our batched rollout engine match the MuJoCo
   oracle on identical candidates; winner selection agrees."""
@@ -273,13 +279,14 @@ def test_ilqg_plan_rolls_out_identically_on_oracle():
 
 def test_fingers_elliptic_qacc_parity():
   """Reference Fingers (self-contained, cone=elliptic condim-6, implicit
-  integrator): per-step qacc parity along an oracle trajectory. The
-  noslip post-pass is unsupported (documented in tasks/reference.py), so
-  it is zeroed on the oracle."""
+  integrator, noslip_iterations=5): per-step qacc parity along an oracle
+  trajectory, with the noslip post-pass ACTIVE on both sides
+  (physics/noslip.py; reference task.xml sets it in <option/>)."""
   spec, mjm = _get('fingers')
-  mjm.opt.noslip_iterations = 0
   m = spec.model
   assert m.opt.cone == 1
+  assert m.opt.noslip_iterations == 5
+  assert mjm.opt.noslip_iterations == 5
   d0 = make_data(m, dtype=jnp.float64)
   k = m.keyframe_names.index('home')
   d0 = d0.replace(qpos=m.key_qpos[k], act=m.key_act[k])
