@@ -33,6 +33,12 @@ class ContactPoint(NamedTuple):
   dist: jax.Array    # scalar; _BIG when the candidate is invalid
   pos: jax.Array     # (3,)
   normal: jax.Array  # (3,) from geom1 towards geom2
+  # optional first-tangent hint (unit, normal-orthogonal). MuJoCo's
+  # plane-capsule collider aligns t1 with the capsule axis instead of
+  # mju_makeFrame(normal) — the pyramidal cone is tangent-anisotropic, so
+  # the frame choice is observable in qacc on sliding contacts
+  # (caught by humanoid reference-parity; None -> makeFrame tangents)
+  tangent: jax.Array = None
 
 
 def _make_frame(n: jax.Array):
@@ -50,8 +56,11 @@ def _make_frame(n: jax.Array):
   return t1, t2
 
 
-def _make_frames(n: jax.Array):
-  """Batched tangent bases for (P, 3) normals (mju_makeFrame semantics)."""
+def _make_frames(n: jax.Array, hint: jax.Array = None):
+  """Batched tangent bases for (P, 3) normals (mju_makeFrame semantics).
+
+  `hint` (P, 3) carries per-point first-tangent overrides (zero rows =
+  no override, see ContactPoint.tangent)."""
   an = jnp.abs(n)
   ex = jnp.array([1.0, 0.0, 0.0], n.dtype)
   ey = jnp.array([0.0, 1.0, 0.0], n.dtype)
@@ -62,6 +71,9 @@ def _make_frames(n: jax.Array):
   t1 = jnp.cross(n, e)
   t1 = t1 / jnp.maximum(
       jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+  if hint is not None:
+    use = jnp.sum(hint * hint, axis=-1, keepdims=True) > 0.25
+    t1 = jnp.where(use, hint, t1)
   t2 = jnp.cross(n, t1)
   return t1, t2
 
@@ -73,10 +85,18 @@ def _plane_sphere(pp, pn, c, r):
 
 
 def _plane_capsule(pp, pn, c, axis, half, r):
+  # t1 along the capsule axis projected onto the plane (MuJoCo
+  # mjc_PlaneCapsule); fall back to makeFrame when the capsule stands
+  # normal to the plane
+  t = axis - pn * jnp.dot(pn, axis)
+  tn = jnp.linalg.norm(t)
+  t1_mf, _ = _make_frame(pn)
+  t1 = jnp.where(tn > 1e-8, t / jnp.maximum(tn, 1e-12), t1_mf)
   pts = []
   for s in (-1.0, 1.0):
     e = c + s * half * axis
-    pts.extend(_plane_sphere(pp, pn, e, r))
+    (p,) = _plane_sphere(pp, pn, e, r)
+    pts.append(p._replace(tangent=t1))
   return pts
 
 

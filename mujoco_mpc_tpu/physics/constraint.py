@@ -74,9 +74,16 @@ class Rows(NamedTuple):
 
 
 def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
-  """MuJoCo constraint impedance d(pos) in (0,1)."""
+  """MuJoCo constraint impedance d(pos) in (0,1).
+
+  The endpoints d0/dwidth are clamped to [mjMINIMP, mjMAXIMP] BEFORE
+  interpolation (mj_assignImpedance semantics): solimp d0=0 configs (e.g.
+  dm_control humanoid solimplimit) yield imp = 1e-4 + y*(dw - 1e-4), not
+  y*dw — observable in efc_D at the 2e-3 level (humanoid parity)."""
   d0, dw, width, mid, power = (solimp[..., 0], solimp[..., 1],
                                solimp[..., 2], solimp[..., 3], solimp[..., 4])
+  d0 = jnp.clip(d0, _MIN_IMP, _MAX_IMP)
+  dw = jnp.clip(dw, _MIN_IMP, _MAX_IMP)
   x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
   mid = jnp.clip(mid, 1e-6, 1 - 1e-6)
   power = jnp.maximum(power, 1.0)
@@ -469,8 +476,8 @@ def _contact_groups(m: Model, d: Data):
   def _group(c):
     if groups[c] is None:
       groups[c] = {k: [] for k in
-                   ('pos3', 'normal', 'dist', 'margin', 'solref', 'solimp',
-                    'mu', 'invw', 'b1', 'b2')}
+                   ('pos3', 'normal', 'tangent', 'dist', 'margin',
+                    'solref', 'solimp', 'mu', 'invw', 'b1', 'b2')}
     return groups[c]
 
   for (g1, g2) in m.collision_pairs:
@@ -486,6 +493,9 @@ def _contact_groups(m: Model, d: Data):
     for cp in points:
       g['pos3'].append(cp.pos)
       g['normal'].append(cp.normal)
+      g['tangent'].append(
+          jnp.zeros(3, dtype=cp.normal.dtype) if cp.tangent is None
+          else cp.tangent)
       g['dist'].append(cp.dist)
       g['margin'].append(params.includemargin)
       g['solref'].append(params.solref)
@@ -532,6 +542,7 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
       continue
     pos3 = jnp.stack(g['pos3'])                      # (P, 3)
     normal = jnp.stack(g['normal'])
+    tan_hint = jnp.stack(g['tangent'])               # (P, 3)
     dist = jnp.stack(g['dist'])                      # (P,)
     margin = jnp.stack(g['margin'])
     solref = jnp.stack(g['solref'])                  # (P, 2)
@@ -561,10 +572,10 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
     jn = jnp.einsum('pns,ps->pn', jp, normal)        # (P, nv)
 
     if condim == 1:
-      t1, t2 = collision._make_frames(normal)
+      t1, t2 = collision._make_frames(normal, tan_hint)
       jmat, nrep = jn, 1
     else:
-      t1, t2 = collision._make_frames(normal)
+      t1, t2 = collision._make_frames(normal, tan_hint)
       mus = mu[:, 0:1]
       jt1 = jnp.einsum('pns,ps->pn', jp, t1)
       jt2 = jnp.einsum('pns,ps->pn', jp, t2)
@@ -658,6 +669,7 @@ def cone_contact_blocks(m: Model, d: Data) -> ConeBlock | None:
       continue
     pos3 = jnp.stack(g['pos3'])                      # (P, 3)
     normal = jnp.stack(g['normal'])
+    tan_hint = jnp.stack(g['tangent'])               # (P, 3)
     dist = jnp.stack(g['dist'])
     margin = jnp.stack(g['margin'])
     solref = jnp.stack(g['solref'])
@@ -684,7 +696,7 @@ def cone_contact_blocks(m: Model, d: Data) -> ConeBlock | None:
     jp2, jr2 = batch_jac(b2_arr)
     jp = jp2 - jp1
     jr = jr2 - jr1
-    t1, t2 = collision._make_frames(normal)
+    t1, t2 = collision._make_frames(normal, tan_hint)
     dirs = jnp.stack([normal, t1, t2], axis=1)       # (P, 3, 3)
     jtrans = jnp.einsum('pns,pds->pdn', jp, dirs)    # (P, 3, nv)
     jrot = jnp.einsum('pns,pds->pdn', jr, dirs)      # (P, 3, nv)

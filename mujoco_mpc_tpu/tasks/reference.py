@@ -10,11 +10,13 @@ the SAME task configuration (model, cost terms, weights, planner settings)
 can be planned by this framework and compared against a MuJoCo oracle
 (tests/test_reference_parity.py).
 
-Supported tasks (all mesh-free): Cartpole, Acrobot, Swimmer, Walker, and
-the self-contained Fingers (elliptic condim-6 cones, implicit integrator).
-Residual semantics: mjpc/tasks/{cartpole/cartpole.cc:36-49,
+Supported tasks (all mesh-free): Cartpole, Acrobot, Swimmer, Walker,
+Particle, Humanoid Stand + Walk (the contact-rich dm_control humanoid),
+and the self-contained Fingers (elliptic condim-6 cones, implicit
+integrator). Residual semantics: mjpc/tasks/{cartpole/cartpole.cc:36-49,
 acrobot/acrobot.cc:36-51, swimmer/swimmer.cc:33-44, walker/walker.cc:38-56,
-fingers/fingers.cc:30-57}.
+particle/particle.cc:36-56, humanoid/stand/stand.cc:40-95,
+humanoid/walk/walk.cc:44-165, fingers/fingers.cc:30-57}.
 
 The fingers config's <option noslip_iterations="5"/> runs the noslip
 post-pass (physics/noslip.py) on both engines; dynamics parity tests
@@ -52,6 +54,12 @@ _SELF_CONTAINED = ('fingers',)
 # Particle/ParticleFixed load task_timevarying.xml, particle.cc:24)
 _TASK_XML = {'particle': 'task_timevarying.xml'}
 
+# tasks whose task.xml lives in a nested dir one level below the patched
+# model (reference humanoid/{stand,walk,tracking}/task.xml include
+# ../humanoid_modified.xml and ../../common.xml)
+_NESTED = {'humanoid_stand': ('humanoid', 'stand'),
+           'humanoid_walk': ('humanoid', 'walk')}
+
 
 def available() -> bool:
   """True if the reference checkout + dm_control + `patch` are present."""
@@ -73,14 +81,45 @@ def assemble_task_xml(task: str, cache_dir: Optional[str] = None) -> str:
   suite XML + reference patch -> <task>_modified.xml, plus the reference's
   task.xml and shared common.xml.
   """
-  if task not in _DM_SOURCE and task not in _SELF_CONTAINED:
+  if (task not in _DM_SOURCE and task not in _SELF_CONTAINED
+      and task not in _NESTED):
     raise ValueError(f'unsupported reference task {task!r}; supported: '
-                     f'{sorted(_DM_SOURCE) + sorted(_SELF_CONTAINED)}')
+                     f'{sorted(_DM_SOURCE) + sorted(_SELF_CONTAINED) + sorted(_NESTED)}')
   if cache_dir is None:
     cache_dir = os.path.join(
         os.environ.get('XDG_CACHE_HOME',
                        os.path.join(os.path.expanduser('~'), '.cache')),
         'mjpc_tpu', 'reference_tasks')
+
+  if task in _NESTED:
+    # e.g. humanoid_stand: model dir humanoid/ holds the patched model,
+    # humanoid/stand/task.xml is the loadable config
+    # (reference mjpc/tasks/CMakeLists.txt:35-41)
+    model_name, sub = _NESTED[task]
+    model_dir = os.path.join(cache_dir, model_name)
+    task_dir = os.path.join(model_dir, sub)
+    out_xml = os.path.join(task_dir, 'task.xml')
+    if os.path.exists(out_xml):
+      return out_xml
+    os.makedirs(task_dir, exist_ok=True)
+    import dm_control
+    dm_xml = os.path.join(os.path.dirname(dm_control.__file__), 'suite',
+                          model_name + '.xml')
+    base_xml = os.path.join(model_dir, f'{model_name}.xml')
+    shutil.copy(dm_xml, base_xml)
+    ref_model_dir = os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks',
+                                 model_name)
+    modified = os.path.join(model_dir, f'{model_name}_modified.xml')
+    with open(os.path.join(ref_model_dir,
+                           f'{model_name}.xml.patch'), 'rb') as pf:
+      subprocess.run(['patch', '-s', '-o', modified, base_xml], stdin=pf,
+                     check=True)
+    shutil.copy(os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks',
+                             'common.xml'),
+                os.path.join(cache_dir, 'common.xml'))
+    shutil.copy(os.path.join(ref_model_dir, sub, 'task.xml'), out_xml)
+    return out_xml
+
   task_dir = os.path.join(cache_dir, task)
   out_xml = os.path.join(task_dir, 'task.xml')
   ref_task_dir = os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks', task)
@@ -206,6 +245,87 @@ def _make_particle_residual(m, fixed=False):
   return residual
 
 
+def _make_humanoid_stand_residual(m):
+  # reference: humanoid/stand/stand.cc:40-95 — Height (head z above feet
+  # sites minus goal), Balance (capture point vs average feet xy), CoM
+  # velocity (2d), joint velocity (nv-6), control. Capture point =
+  # com + kFallTime * com_vel with kFallTime = 0.2 (stand.cc:60-63).
+  sps = [_sensor_meta(m, f'sp{i}') for i in range(4)]
+  head = _sensor_meta(m, 'head_position')
+  torso = m.body('torso')
+
+  def residual(m_, d, rp):
+    f = jnp.stack([_frame_pos(m_, d, *s) for s in sps])      # (4, 3)
+    height = _frame_pos(m_, d, *head)[2] - 0.25 * jnp.sum(f[:, 2])
+    com = d.subtree_com[torso]
+    com_vel = support.subtree_linvel(m_, d, torso)
+    capture = com[:2] + 0.2 * com_vel[:2]
+    balance = jnp.linalg.norm(0.25 * jnp.sum(f[:, :2], axis=0) - capture)
+    return jnp.concatenate([
+        jnp.stack([height - rp[0], balance]), com_vel[:2], d.qvel[6:],
+        d.ctrl])
+  return residual
+
+
+def _make_humanoid_walk_residual(m):
+  # reference: humanoid/walk/walk.cc:44-165 — torso height, pelvis-feet
+  # alignment, balance (capture point projected onto the feet segment),
+  # upright (torso/pelvis/feet z-axes), posture, walk (com speed along
+  # the average forward axis), move-feet, control. All terms scaled by
+  # the "standing" factor as in the C++ (walk.cc:89-95).
+  torso = m.body('torso')
+  pelvis = m.body('pelvis')
+  foot_r = m.body('foot_right')
+  foot_l = m.body('foot_left')
+  waist = m.body('waist_lower')
+
+  def residual(m_, d, rp):
+    torso_z = d.xipos[torso][2]
+    fr, fl = d.xipos[foot_r], d.xipos[foot_l]
+    r_height = torso_z - rp[0]
+    r_pf = 0.5 * (fl[2] + fr[2]) - d.xipos[pelvis][2] - 0.2
+
+    com = d.subtree_com[torso]
+    com_vel3 = support.subtree_linvel(m_, d, torso)
+    capture = com + 0.3 * com_vel3
+    capture = capture.at[2].set(1e-3)
+    axis = (fr - fl).at[2].set(1e-3)
+    axis_norm = jnp.linalg.norm(axis)
+    axis_u = axis / jnp.maximum(axis_norm, 1e-12)
+    length = 0.5 * axis_norm - 0.05
+    center = 0.5 * (fr + fl)
+    t = jnp.clip(jnp.dot(capture - center, axis_u), -length, length)
+    pcp = center + t * axis_u
+    standing = torso_z / jnp.sqrt(torso_z * torso_z + 0.45 * 0.45) - 0.4
+    r_balance = standing * (capture[:2] - pcp[:2])
+
+    z_ref = jnp.array([0.0, 0.0, 1.0], dtype=d.qpos.dtype)
+    r_up = jnp.concatenate([
+        jnp.stack([d.xmat[torso][2, 2] - 1.0,
+                   0.3 * (d.xmat[pelvis][2, 2] - 1.0)]),
+        0.1 * standing * (d.xmat[foot_r][:, 2] - z_ref),
+        0.1 * standing * (d.xmat[foot_l][:, 2] - z_ref)])
+
+    r_post = d.qpos[7:]
+
+    fw = (d.xmat[torso][:2, 0] + d.xmat[pelvis][:2, 0]
+          + d.xmat[foot_r][:2, 0] + d.xmat[foot_l][:2, 0])
+    fw = fw / jnp.maximum(jnp.linalg.norm(fw), 1e-12)
+    torso_vel = support.point_velocity(m_, d, torso, d.xipos[torso])
+    com_vel = 0.5 * (support.subtree_linvel(m_, d, waist)[:2]
+                     + torso_vel[:2])
+    r_walk = standing * (jnp.dot(com_vel, fw) - rp[1])
+
+    frv = support.point_velocity(m_, d, foot_r, fr)[:2]
+    flv = support.point_velocity(m_, d, foot_l, fl)[:2]
+    r_move = standing * (com_vel - 0.5 * frv - 0.5 * flv)
+
+    return jnp.concatenate([
+        jnp.stack([r_height, r_pf]), r_balance, r_up, r_post,
+        jnp.stack([r_walk]), r_move, d.ctrl])
+  return residual
+
+
 def _make_fingers_residual(m):
   # reference: fingers.cc:30-57 — reach (finger_a/b -> object, 3d each),
   # bring (3 site-pair distances), control
@@ -249,6 +369,10 @@ def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
     residual_fn = _make_walker_residual(model)
   elif task == 'particle':
     residual_fn = _make_particle_residual(model)
+  elif task == 'humanoid_stand':
+    residual_fn = _make_humanoid_stand_residual(model)
+  elif task == 'humanoid_walk':
+    residual_fn = _make_humanoid_walk_residual(model)
   elif task == 'fingers':
     residual_fn = _make_fingers_residual(model)
   else:

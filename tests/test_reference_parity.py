@@ -28,7 +28,8 @@ from mujoco_mpc_tpu.tasks import reference as ref
 pytestmark = pytest.mark.skipif(not ref.available(),
                                 reason='reference checkout unavailable')
 
-TASKS = ['cartpole', 'acrobot', 'swimmer', 'walker', 'particle']
+TASKS = ['cartpole', 'acrobot', 'swimmer', 'walker', 'particle',
+         'humanoid_stand', 'humanoid_walk']
 
 
 def _get(task):
@@ -46,6 +47,7 @@ def _home_state(spec, rng, scale=0.01):
   else:
     qpos = np.asarray(m.qpos0, dtype=np.float64)
   qpos = qpos + scale * rng.standard_normal(m.nq)
+  mujoco.mj_normalizeQuat(spec.mj_model, qpos)  # free/ball quats
   qvel = scale * rng.standard_normal(m.nv)
   return d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
 
@@ -71,6 +73,8 @@ def test_dynamics_parity(task):
   _sync_oracle(mjm, mjd, d)
 
   nsteps = 100 if task in ('cartpole', 'acrobot') else 50
+  if task.startswith('humanoid'):
+    nsteps = 30  # 27-dof contact-rich free-fall-to-floor: chaos horizon
   step = jax.jit(fwd.step)
   ctrl_t = 0.3 * np.sin(
       np.linspace(0, 4 * np.pi, nsteps)[:, None]
@@ -85,7 +89,7 @@ def test_dynamics_parity(task):
   # test_one_step_qacc_parity below), so the trajectory band is looser —
   # and velocities react discontinuously to contact timing, so their band
   # is ~100x the configuration band
-  contact_rich = task == 'walker'
+  contact_rich = task == 'walker' or task.startswith('humanoid')
   atol = 5e-3 if contact_rich else 1e-6
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=atol,
                              err_msg=f'{task} qpos after {nsteps} steps')
@@ -156,6 +160,51 @@ def _oracle_residual(task, spec, mjm, mjd):
                      0.25 * np.cos(mjd.time / np.pi)])
     return np.concatenate([sens('position')[:2] - goal,
                            sens('velocity')[:2], mjd.ctrl])
+  if task == 'humanoid_stand':
+    # reference humanoid/stand/stand.cc:40-95
+    f = [sens(f'sp{i}') for i in range(4)]
+    height = sens('head_position')[2] - 0.25 * sum(fi[2] for fi in f)
+    com = sens('torso_subtreecom')
+    com_vel = sens('torso_subtreelinvel')
+    capture = com[:2] + 0.2 * com_vel[:2]
+    favg = 0.25 * sum(fi[:2] for fi in f)
+    balance = np.linalg.norm(favg - capture)
+    return np.concatenate([[height - rp[0], balance], com_vel[:2],
+                           mjd.qvel[6:], mjd.ctrl])
+  if task == 'humanoid_walk':
+    # reference humanoid/walk/walk.cc:44-165
+    torso_z = sens('torso_position')[2]
+    fr, fl = sens('foot_right'), sens('foot_left')
+    r_height = torso_z - rp[0]
+    r_pf = 0.5 * (fl[2] + fr[2]) - sens('pelvis_position')[2] - 0.2
+    capture = sens('torso_subcom') + 0.3 * sens('torso_subcomvel')
+    capture[2] = 1e-3
+    axis = fr - fl
+    axis[2] = 1e-3
+    axis_norm = np.linalg.norm(axis)
+    axis_u = axis / max(axis_norm, 1e-12)
+    length = 0.5 * axis_norm - 0.05
+    center = 0.5 * (fr + fl)
+    t = np.clip(np.dot(capture - center, axis_u), -length, length)
+    pcp = center + t * axis_u
+    standing = torso_z / np.sqrt(torso_z ** 2 + 0.45 ** 2) - 0.4
+    r_balance = standing * (capture[:2] - pcp[:2])
+    z_ref = np.array([0.0, 0.0, 1.0])
+    r_up = np.concatenate([
+        [sens('torso_up')[2] - 1.0, 0.3 * (sens('pelvis_up')[2] - 1.0)],
+        0.1 * standing * (sens('foot_right_up') - z_ref),
+        0.1 * standing * (sens('foot_left_up') - z_ref)])
+    r_post = mjd.qpos[7:].copy()
+    fw = (sens('torso_forward')[:2] + sens('pelvis_forward')[:2]
+          + sens('foot_right_forward')[:2] + sens('foot_left_forward')[:2])
+    fw = fw / max(np.linalg.norm(fw), 1e-12)
+    com_vel = 0.5 * (sens('waist_lower_subcomvel')[:2]
+                     + sens('torso_velocity')[:2])
+    r_walk = standing * (np.dot(com_vel, fw) - rp[1])
+    r_move = standing * (com_vel - 0.5 * sens('foot_right_velocity')[:2]
+                         - 0.5 * sens('foot_left_velocity')[:2])
+    return np.concatenate([[r_height, r_pf], r_balance, r_up, r_post,
+                           [r_walk], r_move, mjd.ctrl])
   raise ValueError(task)
 
 
@@ -178,7 +227,8 @@ def _oracle_returns(task, spec, mjm, d0, actions):
   return np.array(returns)
 
 
-@pytest.mark.parametrize('task', ['cartpole', 'swimmer', 'particle'])
+@pytest.mark.parametrize('task', ['cartpole', 'swimmer', 'particle',
+                                  'humanoid_stand', 'humanoid_walk'])
 def test_planner_scoring_parity(task):
   """Candidate returns from our batched rollout engine match the MuJoCo
   oracle on identical candidates; winner selection agrees."""
@@ -189,6 +239,12 @@ def test_planner_scoring_parity(task):
 
   # plan on the SIM timestep so the oracle and engine step identically
   horizon_steps = 20
+  # contact-rich humanoid: solver-tolerance noise amplifies over the
+  # horizon; shorter window + looser band (winner agreement still exact)
+  rtol = 1e-4
+  if task.startswith('humanoid'):
+    horizon_steps = 12
+    rtol = 2e-3
   num_samples = 8
   num_points = 5
   interp = spline.Interp.ZERO
@@ -213,7 +269,7 @@ def test_planner_scoring_parity(task):
                                            cfg.timestep, interp))(candidates))
   oracle = _oracle_returns(task, spec, mjm, d0, actions)
 
-  np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-8,
+  np.testing.assert_allclose(ours, oracle, rtol=rtol, atol=1e-8,
                              err_msg=f'{task} candidate returns')
   assert int(np.argmin(ours)) == int(np.argmin(oracle))
 
