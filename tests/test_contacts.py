@@ -65,10 +65,30 @@ SPHERE_SPHERE = """
 </mujoco>
 """
 
+# yawed capsule sliding on the plane: the contact tangent frame must
+# follow the capsule axis (mjc_PlaneCapsule), not makeFrame(normal) —
+# the pyramidal cone is tangent-anisotropic, so a wrong frame shows up
+# in qacc only when the axis is NOT world-axis-aligned (regression for
+# the humanoid reference-parity finding)
+CAPSULE_PLANE_YAW = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body pos="0 0 0.048" euler="0 0 37">
+      <freejoint/>
+      <geom type="capsule" size="0.05" fromto="-0.2 0 0 0.2 0 0"
+            mass="0.5" friction="0.7"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
 ALL = {
     'sphere_plane': SPHERE_PLANE,
     'box_plane': BOX_PLANE,
     'capsule_plane': CAPSULE_PLANE,
+    'capsule_plane_yaw': CAPSULE_PLANE_YAW,
     'sphere_sphere': SPHERE_SPHERE,
 }
 
