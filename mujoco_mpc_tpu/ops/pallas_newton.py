@@ -8,13 +8,15 @@ plus layout copies to feed the lane-batched Cholesky kernel — profiled on
 TPU (docs/PERF.md round 2), that dispatch/layout tax dominates: ~41 ms of
 the 4096x36 quadruped plan, 12 ms of it pure H-layout copies.
 
-This kernel runs the ENTIRE Newton loop for 128 samples in one Pallas
-program: J (n, nv, 128), M (nv, nv, 128) and all carries live in VMEM
-(quadruped: 737 KB, Shadow: 2.5 MB — fits), every scalar of the
-recurrence is a (128,)-lane vector, and the only HBM traffic is one read
-of the inputs and one write of the outputs. Layout is batch-minor
-(lanes = samples), the transpose of the vmapped batch-first layout, paid
-once per step instead of once per iteration.
+This kernel runs the ENTIRE Newton loop for a batch tile of samples in
+one Pallas program: J, M and all carries live in VMEM and the only HBM
+traffic is one read of the inputs and one write of the outputs. Two
+batch layouts (see _newton_kernel): the default packs S*128 samples per
+program with every per-sample scalar an (S, 128) tile — S=8 fills the
+whole f32 vreg, ~8x the VPU throughput of a 1-sublane lane vector — and
+falls back to the compact (128,)-lane layout when the sublane-padded
+tiles would blow the ~16 MB VMEM budget (Shadow-class row counts).
+Either way the batch transpose is paid once per step, not per iteration.
 
 Differentiation: the planner derivative stack (planners/derivatives.py)
 jacfwd's the step, so the solve carries a `jax.custom_jvp` implementing
@@ -39,10 +41,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 LANES = 128
+SUBLANES = 8         # full f32 vreg tile is (8, 128)
 MAX_NV = 32          # same small-matrix regime as ops/pallas_linalg.py
 MIN_BATCH = LANES    # below one lane tile the XLA path wins
 _DAMP = 1e-10        # Hessian damping (matches physics/constraint.py)
 _ALPHAS = (0.0, 1.0, 0.5, 0.25, 0.0625)
+_VMEM_BUDGET = 12 * 2 ** 20   # leave ~4 MB headroom of the ~16 MB/core
 
 
 def _on_tpu() -> bool:
@@ -138,27 +142,35 @@ def cone_hess(jar_c, d0, s, mu):
 # ---------------------------------------------------------------------------
 
 
-def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
-  """One lane tile: refs layout (see newton_batched for operand order)."""
+def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
+  """One batch tile: refs layout (see newton_batched for operand order).
+
+  Two layouts share this body. Lane layout (sublanes=0): per-sample
+  scalars are (L,) lane vectors, operands (dims..., L) — compact VMEM
+  (matrix dims pack the sublanes) but each VPU op uses 1 of 8 sublanes.
+  Tile layout (sublanes=S>0): per-sample scalars are (S, L) tiles,
+  operands (1, dims..., S, L) — S=8 fills the whole f32 vreg, ~8x the
+  VPU throughput of the lane layout, at 8/S x the VMEM (sublane padding)."""
   has_d = n > 0
   has_s = ns > 0
+  sq = (lambda r: r[0]) if sublanes else (lambda r: r[...])
   i_ref = 0
-  qm = refs[i_ref][...]; i_ref += 1          # (nv, nv, L)
-  qs = refs[i_ref][...]; i_ref += 1          # (nv, L)
+  qm = sq(refs[i_ref]); i_ref += 1          # (nv, nv, *tile)
+  qs = sq(refs[i_ref]); i_ref += 1          # (nv, *tile)
   if has_d:
-    jmat = refs[i_ref][...]; i_ref += 1      # (n, nv, L)
-    aref = refs[i_ref][...]; i_ref += 1      # (n, L)
-    dvec = refs[i_ref][...]; i_ref += 1      # (n, L)
-    eqf = refs[i_ref][...] > 0.5; i_ref += 1  # (n, L) bool
+    jmat = sq(refs[i_ref]); i_ref += 1      # (n, nv, *tile)
+    aref = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
+    dvec = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
+    eqf = sq(refs[i_ref]) > 0.5; i_ref += 1  # (n, *tile) bool
   if has_s:
-    s_aref = refs[i_ref][...]; i_ref += 1    # (ns, L)
-    s_dvec = refs[i_ref][...]; i_ref += 1    # (ns, L)
+    s_aref = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
+    s_dvec = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
   qacc_out = refs[i_ref]; i_ref += 1
   jar_out = refs[i_ref] if has_d else None; i_ref += 1 if has_d else 0
   jars_out = refs[i_ref] if has_s else None
 
   dtype = qm.dtype
-  L = qm.shape[-1]
+  tile = qm.shape[2:]                        # (L,) or (S, L)
   sgn = np.asarray(sign, dtype=dtype)  # kernel dtype: a float64 constant
                                        # would promote the whole carry
 
@@ -176,8 +188,8 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
   def gather_dof(x):                   # (nv, L) -> (ns, L): sign * x[dof]
     return jnp.stack([x[dof[r], :] * sgn[r] for r in range(ns)])
 
-  def scatter_dof(y):                  # (ns, L) -> (nv, L): add sign*y at dof
-    out = [jnp.zeros((L,), dtype=dtype) for _ in range(nv)]
+  def scatter_dof(y):                  # (ns, *t) -> (nv, *t): add sign*y at dof
+    out = [jnp.zeros(tile, dtype=dtype) for _ in range(nv)]
     for r in range(ns):
       out[dof[r]] = out[dof[r]] + sgn[r] * y[r, :]
     return jnp.stack(out)
@@ -237,7 +249,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
 
   jar_d0 = matvec_j(qs) - aref if has_d else None
   jar_s0 = gather_dof(qs) - s_aref if has_s else None
-  false_l = jnp.zeros((L,), dtype=bool)
+  false_l = jnp.zeros(tile, dtype=bool)
 
   def cond(carry):
     _, _, _, it, done, _ = unpack(carry)
@@ -289,8 +301,8 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
         pc = jnp.where(jc < 0, s_dvec, 0.0)
         c = c + 0.5 * jnp.sum(pc * jc * jc, axis=0)
       if best_cost is None:
-        best_cost, best_alpha = c, jnp.full((L,), a, dtype=dtype)
-        best_is_full = jnp.zeros((L,), dtype=bool)
+        best_cost, best_alpha = c, jnp.full(tile, a, dtype=dtype)
+        best_is_full = jnp.zeros(tile, dtype=bool)
       else:
         better = c < best_cost
         best_cost = jnp.where(better, c, best_cost)
@@ -301,7 +313,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
     qacc_new = qacc - alpha[None, :] * step
     jar_d_new = jar_d - alpha[None, :] * js_d if has_d else None
     jar_s_new = jar_s - alpha[None, :] * js_s if has_s else None
-    stable = jnp.ones((L,), dtype=bool)
+    stable = jnp.ones(tile, dtype=bool)
     if has_d:
       stable = jnp.logical_and(
           stable,
@@ -328,11 +340,18 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, refs):
               false_l, false_l)
   qacc, jar_d, jar_s, _, _, _ = unpack(
       jax.lax.while_loop(cond, body, init))
-  qacc_out[...] = qacc
-  if has_d:
-    jar_out[...] = jar_d
-  if has_s:
-    jars_out[...] = jar_s
+  if sublanes:
+    qacc_out[0] = qacc
+    if has_d:
+      jar_out[0] = jar_d
+    if has_s:
+      jars_out[0] = jar_s
+  else:
+    qacc_out[...] = qacc
+    if has_d:
+      jar_out[...] = jar_d
+    if has_s:
+      jars_out[...] = jar_s
 
 
 def _lane_pad(x, pad, fill=0.0):
@@ -342,23 +361,50 @@ def _lane_pad(x, pad, fill=0.0):
   return jnp.pad(x, widths, constant_values=fill)
 
 
+def pick_sublanes(bsz, nv, n, ns) -> int:
+  """Tile-layout sublane count S for newton_batched (0 = lane layout).
+
+  The tile layout's VMEM blocks pad the sublane dim to 8 whatever S is,
+  so feasibility is judged at S=8; models whose operands would blow the
+  VMEM budget (Shadow-class row counts) keep the lane layout, which
+  packs matrix dims into sublanes instead. MJPC_TPU_NEWTON_SUBLANES
+  overrides (read at trace time — set it before the first jit)."""
+  import os
+  env = os.environ.get('MJPC_TPU_NEWTON_SUBLANES')
+  if env is not None:
+    return int(env)
+  # leading-dim element counts: operands + outputs + ~2x for loop
+  # carries and temporaries
+  lead = (nv * nv + nv + n * nv + 3 * n + 2 * ns
+          + nv + n + ns) + 2 * (nv + n + ns)
+  if lead * SUBLANES * LANES * 4 > _VMEM_BUDGET:
+    return 0
+  return int(max(1, min(SUBLANES, bsz // LANES)))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret'))
+    static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret', 'sublanes'))
 def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
-                   sign, cap, tol, interpret=False):
+                   sign, cap, tol, interpret=False, sublanes=None):
   """Batch-first Newton solve via the fused kernel.
 
   qm (B, nv, nv), qs (B, nv), j (B, n, nv), aref/dvec/eqf (B, n),
   s_aref/s_dvec (B, ns) -> (qacc (B, nv), jar_d (B, n), jar_s (B, ns)).
   Zero-size n / ns are legal and skip those operands entirely.
+  sublanes: batch-tile sublane count S (samples per program = S * 128);
+  0 = lane layout, None = auto (pick_sublanes).
   """
   bsz, nv = qs.shape
   n = j.shape[1]
   ns = s_aref.shape[1]
   has_d = n > 0
   has_s = ns > 0
-  pad = (-bsz) % LANES
+  if sublanes is None:
+    sublanes = pick_sublanes(bsz, nv, n, ns)
+  s = max(1, sublanes)
+  tile_b = s * LANES
+  pad = (-bsz) % tile_b
   if pad:
     # identity systems: qm=I, everything else zero -> step 0, done fast
     eye = jnp.broadcast_to(jnp.eye(nv, dtype=qm.dtype), (pad, nv, nv))
@@ -367,53 +413,86 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
     j, aref, dvec, eqf = (_lane_pad(a, pad) for a in (j, aref, dvec, eqf))
     s_aref, s_dvec = _lane_pad(s_aref, pad), _lane_pad(s_dvec, pad)
   bp = qs.shape[0]
+  g = bp // tile_b
 
-  operands = [jnp.transpose(qm, (1, 2, 0)), jnp.transpose(qs, (1, 0))]
-  in_specs = [pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i)),
-              pl.BlockSpec((nv, LANES), lambda i: (0, i))]
-  if has_d:
-    operands += [jnp.transpose(j, (1, 2, 0)), jnp.transpose(aref, (1, 0)),
-                 jnp.transpose(dvec, (1, 0)),
-                 jnp.transpose(eqf.astype(qm.dtype), (1, 0))]
-    in_specs += [pl.BlockSpec((n, nv, LANES), lambda i: (0, 0, i)),
-                 pl.BlockSpec((n, LANES), lambda i: (0, i)),
-                 pl.BlockSpec((n, LANES), lambda i: (0, i)),
-                 pl.BlockSpec((n, LANES), lambda i: (0, i))]
-  if has_s:
-    operands += [jnp.transpose(s_aref, (1, 0)),
-                 jnp.transpose(s_dvec, (1, 0))]
-    in_specs += [pl.BlockSpec((ns, LANES), lambda i: (0, i)),
-                 pl.BlockSpec((ns, LANES), lambda i: (0, i))]
+  if sublanes:
+    # tile layout: (B, *dims) -> (G, *dims, S, L), grid over G
+    def prep(x):
+      dims = x.shape[1:]
+      x = x.reshape((g, s, LANES) + dims)
+      perm = (0,) + tuple(range(3, 3 + len(dims))) + (1, 2)
+      return jnp.transpose(x, perm)
 
-  out_shape = [jax.ShapeDtypeStruct((nv, bp), qm.dtype)]
-  out_specs = [pl.BlockSpec((nv, LANES), lambda i: (0, i))]
+    def spec(*dims):
+      block = (1,) + dims + (s, LANES)
+      nzero = len(dims) + 2
+      return pl.BlockSpec(block, lambda i, _n=nzero: (i,) + (0,) * _n)
+
+    def out_sds(*dims):
+      return jax.ShapeDtypeStruct((g,) + dims + (s, LANES), qm.dtype)
+
+    def post(x):
+      nd = x.ndim
+      perm = (0, nd - 2, nd - 1) + tuple(range(1, nd - 2))
+      x = jnp.transpose(x, perm)
+      return x.reshape((bp,) + x.shape[3:])[:bsz]
+  else:
+    # lane layout: (B, *dims) -> (*dims, B), grid over lane tiles of B
+    def prep(x):
+      nd = x.ndim
+      return jnp.transpose(x, tuple(range(1, nd)) + (0,))
+
+    def spec(*dims):
+      block = dims + (LANES,)
+      nzero = len(dims)
+      return pl.BlockSpec(block, lambda i, _n=nzero: (0,) * _n + (i,))
+
+    def out_sds(*dims):
+      return jax.ShapeDtypeStruct(dims + (bp,), qm.dtype)
+
+    def post(x):
+      nd = x.ndim
+      return jnp.transpose(x, (nd - 1,) + tuple(range(nd - 1)))[:bsz]
+
+  operands = [prep(qm), prep(qs)]
+  in_specs = [spec(nv, nv), spec(nv)]
   if has_d:
-    out_shape.append(jax.ShapeDtypeStruct((n, bp), qm.dtype))
-    out_specs.append(pl.BlockSpec((n, LANES), lambda i: (0, i)))
+    operands += [prep(j), prep(aref), prep(dvec),
+                 prep(eqf.astype(qm.dtype))]
+    in_specs += [spec(n, nv), spec(n), spec(n), spec(n)]
   if has_s:
-    out_shape.append(jax.ShapeDtypeStruct((ns, bp), qm.dtype))
-    out_specs.append(pl.BlockSpec((ns, LANES), lambda i: (0, i)))
+    operands += [prep(s_aref), prep(s_dvec)]
+    in_specs += [spec(ns), spec(ns)]
+
+  out_shape = [out_sds(nv)]
+  out_specs = [spec(nv)]
+  if has_d:
+    out_shape.append(out_sds(n))
+    out_specs.append(spec(n))
+  if has_s:
+    out_shape.append(out_sds(ns))
+    out_specs.append(spec(ns))
 
   kernel = functools.partial(_newton_kernel, nv, n, ns, dof, sign, cap,
-                             tol)
+                             tol, sublanes)
   outs = pl.pallas_call(
       lambda *refs: kernel(refs),
       out_shape=out_shape,
-      grid=(bp // LANES,),
+      grid=(g if sublanes else bp // LANES,),
       in_specs=in_specs,
       out_specs=out_specs,
       interpret=interpret,
   )(*operands)
 
-  qacc = jnp.transpose(outs[0], (1, 0))[:bsz]
+  qacc = post(outs[0])
   k = 1
   if has_d:
-    jar_d = jnp.transpose(outs[k], (1, 0))[:bsz]
+    jar_d = post(outs[k])
     k += 1
   else:
     jar_d = jnp.zeros((bsz, 0), dtype=qm.dtype)
   if has_s:
-    jar_s = jnp.transpose(outs[k], (1, 0))[:bsz]
+    jar_s = post(outs[k])
   else:
     jar_s = jnp.zeros((bsz, 0), dtype=qm.dtype)
   return qacc, jar_d, jar_s

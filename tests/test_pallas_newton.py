@@ -108,6 +108,26 @@ def test_lane_padding():
                              rtol=2e-4, atol=2e-4)
 
 
+def test_sublane_tile_layout_matches_lane_layout():
+  """(S, 128) batch-tile layout vs the (128,) lane layout, same seed.
+
+  The tile layout packs S*128 samples per program with every per-sample
+  scalar a full (S, 128) vreg tile; both layouts run the identical
+  Newton recurrence, so they must agree to reduction-order noise."""
+  nv, n, ns = 6, 10, 2
+  dof = (1, 4)
+  sign = (1.0, -1.0)
+  args = _synthetic_problem(jax.random.key(7), 300, nv, n, ns)
+  lane = pallas_newton.newton_batched(*args, dof=dof, sign=sign, cap=30,
+                                      tol=1e-6, interpret=True, sublanes=0)
+  tile = pallas_newton.newton_batched(*args, dof=dof, sign=sign, cap=30,
+                                      tol=1e-6, interpret=True, sublanes=2)
+  for a, b in zip(lane, tile):
+    np.testing.assert_allclose(np.asarray(a, np.float64),
+                               np.asarray(b, np.float64),
+                               rtol=2e-3, atol=1e-3)
+
+
 def test_implicit_jvp_matches_loop_jacfwd():
   """The frozen-active-set implicit tangent vs differentiating the loop.
 
