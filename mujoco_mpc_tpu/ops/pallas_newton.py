@@ -58,6 +58,43 @@ def _on_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Pyramidal contact facets in point-direction form.
+#
+# A condim-c contact contributes nrep one-sided facet rows built from the
+# raw contact-frame direction Jacobians jd = (normal, t1, t2[, rn, rt1,
+# rt2]): row = jd[0] + sign * mu[mucol] * jd[di] (condim 1 = the bare
+# normal, sign 0). The expansion is loop-invariant during a solve, so
+# the fused kernel performs it once in VMEM; the XLA paths expand with
+# expand_group. Table entries: (di, mucol, sign), facet-major order
+# matching physics/constraint.contact_blocks.
+# ---------------------------------------------------------------------------
+
+PYRAMID_FACETS = {
+    1: ((0, 0, 0.0),),
+    3: ((1, 0, 1.0), (1, 0, -1.0), (2, 0, 1.0), (2, 0, -1.0)),
+    4: ((1, 0, 1.0), (1, 0, -1.0), (2, 0, 1.0), (2, 0, -1.0),
+        (3, 1, 1.0), (3, 1, -1.0)),
+    6: ((1, 0, 1.0), (1, 0, -1.0), (2, 0, 1.0), (2, 0, -1.0),
+        (3, 1, 1.0), (3, 1, -1.0),
+        (4, 2, 1.0), (4, 2, -1.0), (5, 2, 1.0), (5, 2, -1.0)),
+}
+
+
+def expand_group(jd, aref, dvec, mu, condim):
+  """Facet-expand one point group to dense one-sided rows.
+
+  jd (P, ndirs, nv), aref (nrep, P), dvec (P,), mu (3, P) ->
+  (j (nrep*P, nv), aref (nrep*P,), dvec (nrep*P,)), facet-major."""
+  facets = PYRAMID_FACETS[condim]
+  jn = jd[:, 0]
+  rows = [jn + sgn * mu[col][:, None] * jd[:, di] if sgn else jn
+          for (di, col, sgn) in facets]
+  p = jd.shape[0]
+  return (jnp.concatenate(rows), aref.reshape(len(facets) * p),
+          jnp.tile(dvec, len(facets)))
+
+
+# ---------------------------------------------------------------------------
 # Elliptic friction cones (MJCF <option cone="elliptic"/>).
 #
 # Per condim>1 contact: 6 contact-frame rows (normal, t1, t2, torsion,
@@ -142,7 +179,8 @@ def cone_hess(jar_c, d0, s, mu):
 # ---------------------------------------------------------------------------
 
 
-def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
+def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
+                   refs):
   """One batch tile: refs layout (see newton_batched for operand order).
 
   Two layouts share this body. Lane layout (sublanes=0): per-sample
@@ -150,7 +188,12 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
   (matrix dims pack the sublanes) but each VPU op uses 1 of 8 sublanes.
   Tile layout (sublanes=S>0): per-sample scalars are (S, L) tiles,
   operands (1, dims..., S, L) — S=8 fills the whole f32 vreg, ~8x the
-  VPU throughput of the lane layout, at 8/S x the VMEM (sublane padding)."""
+  VPU throughput of the lane layout, at 8/S x the VMEM (sublane padding).
+
+  Pyramidal contact groups (condims) arrive as raw point-direction
+  Jacobians; the loop-invariant facet expansion (PYRAMID_FACETS) is done
+  ONCE here, in VMEM, before the Newton loop — the XLA graph never
+  materializes the (B, nrep*P, nv) facet tensors."""
   has_d = n > 0
   has_s = ns > 0
   sq = (lambda r: r[0]) if sublanes else (lambda r: r[...])
@@ -165,27 +208,59 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
   if has_s:
     s_aref = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
     s_dvec = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
+  gin = []
+  for _ in condims:
+    jd_g = sq(refs[i_ref]); i_ref += 1      # (P, ndirs, nv, *tile)
+    aref_g = sq(refs[i_ref]); i_ref += 1    # (nrep, P, *tile)
+    dvec_g = sq(refs[i_ref]); i_ref += 1    # (P, *tile)
+    mu_g = sq(refs[i_ref]); i_ref += 1      # (3, P, *tile)
+    gin.append((jd_g, aref_g, dvec_g, mu_g))
   qacc_out = refs[i_ref]; i_ref += 1
-  jar_out = refs[i_ref] if has_d else None; i_ref += 1 if has_d else 0
-  jars_out = refs[i_ref] if has_s else None
+  jar_out = None
+  if has_d:
+    jar_out = refs[i_ref]; i_ref += 1
+  jars_out = None
+  if has_s:
+    jars_out = refs[i_ref]; i_ref += 1
+  jarg_out = refs[i_ref:]
 
   dtype = qm.dtype
   tile = qm.shape[2:]                        # (L,) or (S, L)
   sgn = np.asarray(sign, dtype=dtype)  # kernel dtype: a float64 constant
                                        # would promote the whole carry
 
-  def matvec_m(x):                     # (nv, L) -> (nv, L): qm @ x per lane
+  # loop-invariant facet expansion: per group, fcol[k] stacks the k-th
+  # Jacobian column of every facet row, (nrep, P, *tile)
+  fcols = []
+  for (jd_g, _, _, mu_g), cdim in zip(gin, condims):
+    facets = PYRAMID_FACETS[cdim]
+    cols = []
+    for k in range(nv):
+      jn_k = jd_g[:, 0, k]
+      cols.append(jnp.stack(
+          [jn_k + sf * mu_g[col] * jd_g[:, di, k] if sf else jn_k
+           for (di, col, sf) in facets]))
+    fcols.append(cols)
+
+  def matvec_m(x):                     # (nv, *t) -> (nv, *t)
     return jnp.stack([
         sum(qm[i, k, :] * x[k, :] for k in range(nv)) for i in range(nv)])
 
-  def matvec_j(x):                     # (nv, L) -> (n, L)
+  def matvec_j(x):                     # (nv, *t) -> (n, *t)
     return sum(jmat[:, k, :] * x[k, :][None, :] for k in range(nv))
 
-  def jt_vec(y):                       # (n, L) -> (nv, L): J^T y
+  def jt_vec(y):                       # (n, *t) -> (nv, *t): J^T y
     return jnp.stack([jnp.sum(jmat[:, i, :] * y, axis=0)
                       for i in range(nv)])
 
-  def gather_dof(x):                   # (nv, L) -> (ns, L): sign * x[dof]
+  def matvec_g(gi, x):                 # (nv, *t) -> (nrep, P, *t)
+    return sum(fcols[gi][k] * x[k][None, None] for k in range(nv))
+
+  def jt_g(gi, y):                     # (nrep, P, *t) -> (nv, *t)
+    return jnp.stack([jnp.sum(fcols[gi][i] * y, axis=(0, 1))
+                      for i in range(nv)])
+
+  def gather_dof(x):                   # (nv, *t) -> (ns, *t): sign * x[dof]
     return jnp.stack([x[dof[r], :] * sgn[r] for r in range(ns)])
 
   def scatter_dof(y):                  # (ns, *t) -> (nv, *t): add sign*y at dof
@@ -195,7 +270,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
     return jnp.stack(out)
 
   def chol_solve(h, g):
-    """h: list-of-lists of (L,) (lower triangle filled), g: (nv, L)."""
+    """h: list-of-lists of (*t) (lower triangle filled), g: (nv, *t)."""
     eps = 1e-30
     col = [[None] * nv for _ in range(nv)]
     inv_diag = [None] * nv
@@ -228,12 +303,13 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
 
   # zero-size blocks are omitted from the carry entirely (Mosaic does not
   # like 0-sized values); pack/unpack keeps the body readable
-  def pack(qacc, jar_d, jar_s, it, done, prev_exact):
+  def pack(qacc, jar_d, jar_s, jar_gs, it, done, prev_exact):
     out = [qacc]
     if has_d:
       out.append(jar_d)
     if has_s:
       out.append(jar_s)
+    out += list(jar_gs)
     return tuple(out) + (it, done, prev_exact)
 
   def unpack(carry):
@@ -245,18 +321,22 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
     if has_s:
       jar_s = carry[k]
       k += 1
-    return carry[0], jar_d, jar_s, carry[k], carry[k + 1], carry[k + 2]
+    jar_gs = list(carry[k:k + len(condims)])
+    k += len(condims)
+    return (carry[0], jar_d, jar_s, jar_gs, carry[k], carry[k + 1],
+            carry[k + 2])
 
   jar_d0 = matvec_j(qs) - aref if has_d else None
   jar_s0 = gather_dof(qs) - s_aref if has_s else None
+  jar_g0 = [matvec_g(gi, qs) - gin[gi][1] for gi in range(len(condims))]
   false_l = jnp.zeros(tile, dtype=bool)
 
   def cond(carry):
-    _, _, _, it, done, _ = unpack(carry)
+    _, _, _, _, it, done, _ = unpack(carry)
     return jnp.logical_and(it < cap, jnp.logical_not(jnp.all(done)))
 
   def body(carry):
-    qacc, jar_d, jar_s, it, done, prev_exact = unpack(carry)
+    qacc, jar_d, jar_s, jar_gs, it, done, prev_exact = unpack(carry)
     e = qacc - qs
     me = matvec_m(e)
     g = me
@@ -278,11 +358,27 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
       g = g + scatter_dof(w_s * jar_s)
       for r in range(ns):
         h[dof[r]][dof[r]] = h[dof[r]][dof[r]] + w_s[r, :]
+    active_gs = []
+    w_gs = []
+    for gi in range(len(condims)):
+      active_g = jar_gs[gi] < 0
+      w_g = jnp.where(active_g, gin[gi][2][None], 0.0)
+      active_gs.append(active_g)
+      w_gs.append(w_g)
+      g = g + jt_g(gi, w_g * jar_gs[gi])
+      fc = fcols[gi]
+      for i in range(nv):
+        for j in range(i + 1):
+          hij = jnp.sum(w_g * fc[i] * fc[j], axis=(0, 1))
+          h[i][j] = h[i][j] + hij
+          if i != j:
+            h[j][i] = h[j][i] + hij
 
     step = chol_solve(h, g)
 
     js_d = matvec_j(step) if has_d else None
     js_s = gather_dof(step) if has_s else None
+    js_gs = [matvec_g(gi, step) for gi in range(len(condims))]
     sme = jnp.sum(step * me, axis=0)
     sms = jnp.sum(step * matvec_m(step), axis=0)
     eme = jnp.sum(e * me, axis=0)
@@ -300,6 +396,10 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
         jc = jar_s - a * js_s
         pc = jnp.where(jc < 0, s_dvec, 0.0)
         c = c + 0.5 * jnp.sum(pc * jc * jc, axis=0)
+      for gi in range(len(condims)):
+        jc = jar_gs[gi] - a * js_gs[gi]
+        pc = jnp.where(jc < 0, gin[gi][2][None], 0.0)
+        c = c + 0.5 * jnp.sum(pc * jc * jc, axis=(0, 1))
       if best_cost is None:
         best_cost, best_alpha = c, jnp.full(tile, a, dtype=dtype)
         best_is_full = jnp.zeros(tile, dtype=bool)
@@ -313,6 +413,8 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
     qacc_new = qacc - alpha[None, :] * step
     jar_d_new = jar_d - alpha[None, :] * js_d if has_d else None
     jar_s_new = jar_s - alpha[None, :] * js_s if has_s else None
+    jar_gs_new = [jar_gs[gi] - alpha[None, None] * js_gs[gi]
+                  for gi in range(len(condims))]
     stable = jnp.ones(tile, dtype=bool)
     if has_d:
       stable = jnp.logical_and(
@@ -321,6 +423,10 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
     if has_s:
       stable = jnp.logical_and(
           stable, jnp.all((jar_s_new < 0) == active_s, axis=0))
+    for gi in range(len(condims)):
+      stable = jnp.logical_and(
+          stable, jnp.all((jar_gs_new[gi] < 0) == active_gs[gi],
+                          axis=(0, 1)))
     exact = jnp.logical_and(best_is_full, stable)
     step_norm = jnp.sqrt(jnp.sum(step * step, axis=0))
     qn = jnp.sqrt(jnp.sum(qacc_new * qacc_new, axis=0))
@@ -329,16 +435,19 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
     # freeze lanes that were already done (matches vmapped while_loop
     # semantics: body updates are masked per sample)
     keep = done[None, :]
+    keep2 = done[None, None]
     qacc = jnp.where(keep, qacc, qacc_new)
     jar_d = jnp.where(keep, jar_d, jar_d_new) if has_d else None
     jar_s = jnp.where(keep, jar_s, jar_s_new) if has_s else None
+    jar_gs = [jnp.where(keep2, jar_gs[gi], jar_gs_new[gi])
+              for gi in range(len(condims))]
     prev_exact = jnp.where(done, prev_exact, exact)
     done = jnp.logical_or(done, newly_done)
-    return pack(qacc, jar_d, jar_s, it + 1, done, prev_exact)
+    return pack(qacc, jar_d, jar_s, jar_gs, it + 1, done, prev_exact)
 
-  init = pack(qs, jar_d0, jar_s0, jnp.asarray(0, dtype=jnp.int32),
+  init = pack(qs, jar_d0, jar_s0, jar_g0, jnp.asarray(0, dtype=jnp.int32),
               false_l, false_l)
-  qacc, jar_d, jar_s, _, _, _ = unpack(
+  qacc, jar_d, jar_s, jar_gs, _, _, _ = unpack(
       jax.lax.while_loop(cond, body, init))
   if sublanes:
     qacc_out[0] = qacc
@@ -346,12 +455,16 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, refs):
       jar_out[0] = jar_d
     if has_s:
       jars_out[0] = jar_s
+    for gi in range(len(condims)):
+      jarg_out[gi][0] = jar_gs[gi]
   else:
     qacc_out[...] = qacc
     if has_d:
       jar_out[...] = jar_d
     if has_s:
       jars_out[...] = jar_s
+    for gi in range(len(condims)):
+      jarg_out[gi][...] = jar_gs[gi]
 
 
 def _lane_pad(x, pad, fill=0.0):
@@ -361,14 +474,15 @@ def _lane_pad(x, pad, fill=0.0):
   return jnp.pad(x, widths, constant_values=fill)
 
 
-def pick_sublanes(bsz, nv, n, ns) -> int:
+def pick_sublanes(bsz, nv, n, ns, groups=()) -> int:
   """Tile-layout sublane count S for newton_batched (0 = lane layout).
 
   The tile layout's VMEM blocks pad the sublane dim to 8 whatever S is,
   so feasibility is judged at S=8; models whose operands would blow the
   VMEM budget (Shadow-class row counts) keep the lane layout, which
   packs matrix dims into sublanes instead. MJPC_TPU_NEWTON_SUBLANES
-  overrides (read at trace time — set it before the first jit)."""
+  overrides (read at trace time — set it before the first jit).
+  groups: per point group, (P, ndirs, nrep)."""
   import os
   env = os.environ.get('MJPC_TPU_NEWTON_SUBLANES')
   if env is not None:
@@ -377,6 +491,10 @@ def pick_sublanes(bsz, nv, n, ns) -> int:
   # carries and temporaries
   lead = (nv * nv + nv + n * nv + 3 * n + 2 * ns
           + nv + n + ns) + 2 * (nv + n + ns)
+  for (p, ndirs, nrep) in groups:
+    # jd + aref/dvec/mu + jar carries + the in-VMEM facet columns
+    lead += p * ndirs * nv + (nrep + 4) * p + 3 * nrep * p \
+        + nv * nrep * p
   if lead * SUBLANES * LANES * 4 > _VMEM_BUDGET:
     return 0
   return int(max(1, min(SUBLANES, bsz // LANES)))
@@ -384,13 +502,17 @@ def pick_sublanes(bsz, nv, n, ns) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret', 'sublanes'))
-def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
-                   sign, cap, tol, interpret=False, sublanes=None):
+    static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret', 'sublanes',
+                     'condims'))
+def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
+                   dof, sign, cap, tol, interpret=False, sublanes=None,
+                   condims=()):
   """Batch-first Newton solve via the fused kernel.
 
   qm (B, nv, nv), qs (B, nv), j (B, n, nv), aref/dvec/eqf (B, n),
-  s_aref/s_dvec (B, ns) -> (qacc (B, nv), jar_d (B, n), jar_s (B, ns)).
+  s_aref/s_dvec (B, ns), then 4 operands per point group (jd
+  (B, P, ndirs, nv), aref (B, nrep, P), dvec (B, P), mu (B, 3, P)) ->
+  (qacc (B, nv), jar_d (B, n), jar_s (B, ns), *jar_g (B, nrep, P)).
   Zero-size n / ns are legal and skip those operands entirely.
   sublanes: batch-tile sublane count S (samples per program = S * 128);
   0 = lane layout, None = auto (pick_sublanes).
@@ -400,8 +522,11 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
   ns = s_aref.shape[1]
   has_d = n > 0
   has_s = ns > 0
+  groups = [tuple(gargs[4 * i:4 * i + 4]) for i in range(len(condims))]
+  gdims = [(gr[0].shape[1], gr[0].shape[2], gr[1].shape[1])
+           for gr in groups]  # (P, ndirs, nrep)
   if sublanes is None:
-    sublanes = pick_sublanes(bsz, nv, n, ns)
+    sublanes = pick_sublanes(bsz, nv, n, ns, tuple(gdims))
   s = max(1, sublanes)
   tile_b = s * LANES
   pad = (-bsz) % tile_b
@@ -412,6 +537,7 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
     qs = _lane_pad(qs, pad)
     j, aref, dvec, eqf = (_lane_pad(a, pad) for a in (j, aref, dvec, eqf))
     s_aref, s_dvec = _lane_pad(s_aref, pad), _lane_pad(s_dvec, pad)
+    groups = [tuple(_lane_pad(a, pad) for a in gr) for gr in groups]
   bp = qs.shape[0]
   g = bp // tile_b
 
@@ -463,6 +589,10 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
   if has_s:
     operands += [prep(s_aref), prep(s_dvec)]
     in_specs += [spec(ns), spec(ns)]
+  for gr, (p, ndirs, nrep) in zip(groups, gdims):
+    operands += [prep(gr[0]), prep(gr[1]), prep(gr[2]),
+                 prep(gr[3].astype(qm.dtype))]
+    in_specs += [spec(p, ndirs, nv), spec(nrep, p), spec(p), spec(3, p)]
 
   out_shape = [out_sds(nv)]
   out_specs = [spec(nv)]
@@ -472,9 +602,12 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
   if has_s:
     out_shape.append(out_sds(ns))
     out_specs.append(spec(ns))
+  for (p, ndirs, nrep) in gdims:
+    out_shape.append(out_sds(nrep, p))
+    out_specs.append(spec(nrep, p))
 
   kernel = functools.partial(_newton_kernel, nv, n, ns, dof, sign, cap,
-                             tol, sublanes)
+                             tol, sublanes, condims)
   outs = pl.pallas_call(
       lambda *refs: kernel(refs),
       out_shape=out_shape,
@@ -493,9 +626,11 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *, dof,
     jar_d = jnp.zeros((bsz, 0), dtype=qm.dtype)
   if has_s:
     jar_s = post(outs[k])
+    k += 1
   else:
     jar_s = jnp.zeros((bsz, 0), dtype=qm.dtype)
-  return qacc, jar_d, jar_s
+  jar_gs = tuple(post(o) for o in outs[k:])
+  return (qacc, jar_d, jar_s) + jar_gs
 
 
 # ---------------------------------------------------------------------------
@@ -515,12 +650,27 @@ def _huber_cost(jc, w, loss):
 def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
                       c_aref, c_d0, c_s, c_mu,
                       f_aref=None, f_dvec=None, f_loss=None, *,
-                      dof, sign, cap, tol, fdof=()):
-  """Single-sample Newton solve (jar-carrying, exact line search)."""
+                      dof, sign, cap, tol, fdof=(), condims=(),
+                      groups=()):
+  """Single-sample Newton solve (jar-carrying, exact line search).
+
+  Point groups (see PYRAMID_FACETS) are facet-expanded into the dense
+  block here; their jars are split back out and returned per group as
+  (nrep, P) arrays after the dense/scalar/cone/friction jars."""
   from mujoco_mpc_tpu.ops import pallas_linalg
   from mujoco_mpc_tpu.utils import tpu_math as _tm
 
   nv = qs.shape[0]
+  n_dense = j.shape[0]
+  gsizes = []
+  for (gjd, garef, gdvec, gmu), cdim in zip(groups, condims):
+    ej, ea, ed = expand_group(gjd, garef, gdvec, gmu, cdim)
+    gsizes.append((garef.shape[0], gjd.shape[0]))    # (nrep, P)
+    j = jnp.concatenate([j, ej])
+    aref = jnp.concatenate([aref, ea])
+    dvec = jnp.concatenate([dvec, ed])
+    eqf = jnp.concatenate(
+        [eqf, jnp.zeros(ea.shape[0], dtype=eqf.dtype)])
   n = j.shape[0]
   ns = s_aref.shape[0]
   nc = c_d0.shape[0]
@@ -654,7 +804,12 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
           jnp.asarray(0, dtype=jnp.int32), false0, false0)
   qacc, jar_d, jar_s, jar_c, jar_f, _, _, _ = jax.lax.while_loop(
       cond, body, init)
-  return qacc, jar_d, jar_s, jar_c, jar_f
+  jar_groups = []
+  off = n_dense
+  for (nrep, p) in gsizes:
+    jar_groups.append(jar_d[off:off + nrep * p].reshape(nrep, p))
+    off += nrep * p
+  return (qacc, jar_d[:n_dense], jar_s, jar_c, jar_f) + tuple(jar_groups)
 
 
 # ---------------------------------------------------------------------------
@@ -664,60 +819,66 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
 
 
 @functools.lru_cache(maxsize=None)
-def make_newton(dof, sign, cap, tol, fdof=()):
-  """Newton solve specialized to static (dof, sign, cap, tol, fdof).
+def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
+  """Newton solve specialized to static (dof, sign, cap, tol, fdof,
+  condims).
 
   Returns fn(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
-  c_d0, c_s, c_mu, f_aref, f_dvec, f_loss) ->
-  (qacc, jar_d, jar_s, jar_c, jar_f), per-sample signature; vmap
-  dispatches the fused lane-batched kernel on TPU, jacfwd/jvp uses the
-  frozen-active-set implicit tangent.
+  c_d0, c_s, c_mu, f_aref, f_dvec, f_loss, *group_args) ->
+  (qacc, jar_d, jar_s, jar_c, jar_f, *jar_groups), per-sample
+  signature; vmap dispatches the fused batch-tiled kernel on TPU,
+  jacfwd/jvp uses the frozen-active-set implicit tangent. Each condim
+  in `condims` appends 4 point-group operands (jd (P, ndirs, nv),
+  aref (nrep, P), dvec (P,), mu (3, P)) and one (nrep, P) jar output;
+  the facet expansion (PYRAMID_FACETS) happens inside the solve.
   """
+  ngroups = len(condims)
+
+  def _split(args):
+    gargs = [tuple(args[16 + 4 * i:16 + 4 * i + 4])
+             for i in range(ngroups)]
+    return args[:16], gargs
 
   @jax.custom_batching.custom_vmap
-  def newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
-                  c_aref, c_d0, c_s, c_mu, f_aref, f_dvec, f_loss):
-    return _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
-                             c_j, c_aref, c_d0, c_s, c_mu, f_aref,
-                             f_dvec, f_loss,
-                             dof=dof, sign=sign, cap=cap, tol=tol,
-                             fdof=fdof)
+  def newton_impl(*args):
+    base, gargs = _split(args)
+    return _newton_reference(*base, dof=dof, sign=sign, cap=cap, tol=tol,
+                             fdof=fdof, condims=condims, groups=gargs)
 
   @newton_impl.def_vmap
-  def _newton_vmap(axis_size, in_batched, qm, qs, j, aref, dvec, eqf,
-                   s_aref, s_dvec, c_j, c_aref, c_d0, c_s, c_mu, f_aref,
-                   f_dvec, f_loss):
-    ref = functools.partial(_newton_reference, dof=dof, sign=sign,
-                            cap=cap, tol=tol, fdof=fdof)
+  def _newton_vmap(axis_size, in_batched, *args):
     # unbatched operands (broadcast constants, e.g. an absent dense block
     # or a shared mass matrix) are materialized so the kernel still fires
     args = tuple(
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
-        for a, b in zip((qm, qs, j, aref, dvec, eqf, s_aref, s_dvec,
-                         c_j, c_aref, c_d0, c_s, c_mu, f_aref, f_dvec,
-                         f_loss), in_batched))
-    qs_f = args[1]
+        for a, b in zip(args, in_batched))
+    base, _ = _split(args)
+    qs_f = base[1]
     nv = qs_f.shape[-1]
-    # the fused lane kernel handles pyramidal + limit rows only;
+    # the fused kernel handles pyramidal + limit + point-group rows;
     # elliptic-cone / frictionloss models take the vmapped XLA path
     usable = (qs_f.ndim == 2 and qs_f.shape[0] >= MIN_BATCH
               and nv <= MAX_NV and qs_f.dtype == jnp.float32
-              and args[10].shape[-1] == 0 and len(fdof) == 0
+              and base[10].shape[-1] == 0 and len(fdof) == 0
               and _on_tpu())
     if usable:
-      out = newton_batched(*args[:8], dof=dof, sign=sign, cap=cap,
-                           tol=tol)
-      out = out + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),
-                   jnp.zeros((axis_size, 0), dtype=qs_f.dtype))
+      out = newton_batched(*base[:8], *args[16:], dof=dof, sign=sign,
+                           cap=cap, tol=tol, condims=condims)
+      out = (out[:3]
+             + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),
+                jnp.zeros((axis_size, 0), dtype=qs_f.dtype))
+             + out[3:])
     else:
-      out = jax.vmap(ref)(*args)
-    return out, (True, True, True, True, True)
+      ref = functools.partial(_newton_reference, dof=dof, sign=sign,
+                              cap=cap, tol=tol, fdof=fdof,
+                              condims=condims)
+      out = jax.vmap(
+          lambda *a: ref(*a[:16], groups=_split(a)[1]))(*args)
+    return out, (True,) * (5 + ngroups)
 
   @jax.custom_jvp
-  def newton(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
-             c_d0, c_s, c_mu, f_aref, f_dvec, f_loss):
-    return newton_impl(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
-                       c_aref, c_d0, c_s, c_mu, f_aref, f_dvec, f_loss)
+  def newton(*args):
+    return newton_impl(*args)
 
   @newton.defjvp
   def _newton_jvp(primals, tangents):
@@ -728,51 +889,55 @@ def make_newton(dof, sign, cap, tol, fdof=()):
     with H the Newton Hessian at the solution. This is the exact
     derivative of the contact solution almost everywhere (active set
     locally constant), the quantity the reference approximates by finite
-    differences (mjd_transitionFD, model_derivatives.cc:45-165).
+    differences (mjd_transitionFD, model_derivatives.cc:45-165). Point
+    groups are facet-expanded (a differentiable linear-in-jd map) into
+    the dense block first, so one dense rhs/solve covers them.
     """
     from mujoco_mpc_tpu.ops import pallas_linalg
 
+    def mat(t, prim):
+      return jnp.zeros_like(prim) if isinstance(
+          t, jax.custom_derivatives.SymbolicZero) else t
+
+    base, gprimals = _split(primals)
+    dbase_raw, dgroups_raw = _split(tangents)
     qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0, \
-        c_s, c_mu, f_aref, f_dvec, f_loss = primals
+        c_s, c_mu, f_aref, f_dvec, f_loss = base
+    outs = newton_impl(*primals)
+    qacc, jar_d, jar_s, jar_c, jar_f = outs[:5]
+    jar_groups = outs[5:]
     dqm, dqs, dj, daref, ddvec, _, ds_aref, ds_dvec, dc_j, dc_aref, \
-        dc_d0, _, _, df_aref, df_dvec, df_loss = tangents
-    qacc, jar_d, jar_s, jar_c, jar_f = newton_impl(
-        qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0,
-        c_s, c_mu, f_aref, f_dvec, f_loss)
+        dc_d0, _, _, df_aref, df_dvec, df_loss = (
+            mat(t, p) for t, p in zip(dbase_raw, base))
+
+    # fold the point groups into the dense block: expand primal and
+    # tangent rows (jvp of the bilinear expansion) and append the
+    # converged facet jars
+    n_dense = j.shape[-2]
+    gsizes = []
+    for gi, cdim in enumerate(condims):
+      gp = gprimals[gi]
+      gt = tuple(mat(t, p) for t, p in zip(dgroups_raw[gi], gp))
+      (ej, ea, ed), (dej, dea, ded) = jax.jvp(
+          functools.partial(expand_group, condim=cdim), gp, gt)
+      gsizes.append((gp[1].shape[0], gp[0].shape[0]))
+      j = jnp.concatenate([j, ej])
+      dj = jnp.concatenate([dj, dej])
+      aref = jnp.concatenate([aref, ea])
+      daref = jnp.concatenate([daref, dea])
+      dvec = jnp.concatenate([dvec, ed])
+      ddvec = jnp.concatenate([ddvec, ded])
+      eqf = jnp.concatenate([eqf, jnp.zeros(ea.shape[0],
+                                            dtype=eqf.dtype)])
+      jar_d = jnp.concatenate(
+          [jar_d, jar_groups[gi].reshape(ea.shape[0])])
+
     nv = qs.shape[-1]
     n = j.shape[-2]
     ns = s_aref.shape[-1]
     dtype = qs.dtype
     sgn = jnp.asarray(np.asarray(sign), dtype=dtype)
     dof_np = np.asarray(dof, dtype=np.int32)
-
-    zero = lambda x: jnp.zeros_like(x)
-    dqm = zero(qm) if isinstance(dqm, jax.custom_derivatives.SymbolicZero) \
-        else dqm
-    dqs = zero(qs) if isinstance(dqs, jax.custom_derivatives.SymbolicZero) \
-        else dqs
-    dj = zero(j) if isinstance(dj, jax.custom_derivatives.SymbolicZero) \
-        else dj
-    daref = zero(aref) if isinstance(
-        daref, jax.custom_derivatives.SymbolicZero) else daref
-    ddvec = zero(dvec) if isinstance(
-        ddvec, jax.custom_derivatives.SymbolicZero) else ddvec
-    ds_aref = zero(s_aref) if isinstance(
-        ds_aref, jax.custom_derivatives.SymbolicZero) else ds_aref
-    ds_dvec = zero(s_dvec) if isinstance(
-        ds_dvec, jax.custom_derivatives.SymbolicZero) else ds_dvec
-    dc_j = zero(c_j) if isinstance(
-        dc_j, jax.custom_derivatives.SymbolicZero) else dc_j
-    dc_aref = zero(c_aref) if isinstance(
-        dc_aref, jax.custom_derivatives.SymbolicZero) else dc_aref
-    dc_d0 = zero(c_d0) if isinstance(
-        dc_d0, jax.custom_derivatives.SymbolicZero) else dc_d0
-    df_aref = zero(f_aref) if isinstance(
-        df_aref, jax.custom_derivatives.SymbolicZero) else df_aref
-    df_dvec = zero(f_dvec) if isinstance(
-        df_dvec, jax.custom_derivatives.SymbolicZero) else df_dvec
-    df_loss = zero(f_loss) if isinstance(
-        df_loss, jax.custom_derivatives.SymbolicZero) else df_loss
 
     e = qacc - qs
     h = qm + _DAMP * jnp.eye(nv, dtype=dtype)
@@ -836,7 +1001,14 @@ def make_newton(dof, sign, cap, tol, fdof=()):
       djar_f = dqacc[np.asarray(fdof, dtype=np.int32)] - df_aref
     else:
       djar_f = jnp.zeros_like(jar_f)
-    return ((qacc, jar_d, jar_s, jar_c, jar_f),
-            (dqacc, djar_d, djar_s, djar_c, djar_f))
+    djar_groups = []
+    off = n_dense
+    for (nrep, p) in gsizes:
+      djar_groups.append(djar_d[off:off + nrep * p].reshape(nrep, p))
+      off += nrep * p
+    return ((qacc, jar_d[:n_dense], jar_s, jar_c, jar_f)
+            + tuple(jar_groups),
+            (dqacc, djar_d[:n_dense], djar_s, djar_c, djar_f)
+            + tuple(djar_groups))
 
   return newton

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_mpc_tpu.ops import linalg
+from mujoco_mpc_tpu.ops.pallas_newton import PYRAMID_FACETS
 from mujoco_mpc_tpu.physics.model import Data, JointType, Model
 
 _MIN_IMP, _MAX_IMP = 0.0001, 0.9999
@@ -461,6 +462,20 @@ class ContactBlock(NamedTuple):
   b2: np.ndarray
 
 
+class PointRows(NamedTuple):
+  """Pyramidal contact rows in point-direction form (the hot-path
+  representation): per contact point, `ndirs` raw direction Jacobians
+  instead of `nrep` pre-expanded facet rows. The facet expansion
+  (PYRAMID_FACETS) is loop-invariant, so the fused Newton kernel builds
+  the facet columns once in VMEM — the XLA-side facet broadcast + concat
+  (and its lane-padded (B, nrep*P, nv) intermediates) never exist."""
+  jd: jax.Array     # (P, ndirs, nv) rows (normal, t1, t2[, rn, rt1, rt2])
+  aref: jax.Array   # (nrep, P) per-facet reference acceleration
+  dvec: jax.Array   # (P,) penalty weight, 0 when the contact is inactive
+  mu: jax.Array     # (3, P) (sliding, torsional, rolling)
+  condim: int       # static
+
+
 def _contact_groups(m: Model, d: Data):
   """Stack narrowphase output per condim (static structure).
 
@@ -612,6 +627,93 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
 def _contact_rows(m: Model, d: Data) -> Rows | None:
   """Contact rows as one dense block (see contact_blocks)."""
   return _concat_rows([b.rows for b in contact_blocks(m, d)])
+
+
+def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
+  """Pyramidal contacts in point-direction form, one PointRows per
+  condim group (see PointRows; the dense twin is contact_blocks)."""
+  from mujoco_mpc_tpu.physics import collision, structure
+
+  if not m.collision_pairs:
+    return []
+  dtype = d.qpos.dtype
+  groups = _contact_groups(m, d)
+
+  a_body = np.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
+  rootid = np.asarray(m.body_rootid, dtype=np.int32)
+
+  out = []
+  for condim, g in groups.items():
+    if g is None:
+      continue
+    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
+    normal = jnp.stack(g['normal'])
+    tan_hint = jnp.stack(g['tangent'])
+    dist = jnp.stack(g['dist'])
+    margin = jnp.stack(g['margin'])
+    solref = jnp.stack(g['solref'])
+    solimp = jnp.stack(g['solimp'])
+    mu = jnp.stack(g['mu'])                          # (P, 3)
+    invw = jnp.stack(g['invw'])
+    b1_arr = np.asarray(g['b1'], dtype=np.int32)
+    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+
+    pos = dist - margin
+    k, b, imp = kbi(solref, solimp, pos)             # (P,)
+    if condim == 1:
+      dapprox = invw
+    else:
+      dapprox = invw * 2.0 * mu[:, 0] ** 2 * (1.0 + mu[:, 0] ** 2)
+    dvec = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
+    dvec = jnp.where(pos < 0.0, dvec, 0.0)
+
+    def batch_jac(bodies):
+      off = pos3 - d.subtree_com[rootid[bodies]]
+      jp = (d.cdof[None, :, 3:]
+            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+      mask = jnp.asarray(a_body[bodies], dtype=dtype)[:, :, None]
+      return jp * mask, d.cdof[None, :, :3] * mask   # (P, nv, 3)
+
+    jp1, jr1 = batch_jac(b1_arr)
+    jp2, jr2 = batch_jac(b2_arr)
+    jp = jp2 - jp1
+    t1, t2 = collision._make_frames(normal, tan_hint)
+    if condim == 1:
+      dirs_t = normal[:, None, :]                    # (P, 1, 3)
+      jd = jnp.einsum('pns,pds->pdn', jp, dirs_t)
+    else:
+      dirs_t = jnp.stack([normal, t1, t2], axis=1)   # (P, 3, 3)
+      jd = jnp.einsum('pns,pds->pdn', jp, dirs_t)
+      if condim >= 4:
+        jr = jr2 - jr1
+        dirs_r = (normal[:, None, :] if condim == 4
+                  else jnp.stack([normal, t1, t2], axis=1))
+        jd = jnp.concatenate(
+            [jd, jnp.einsum('pns,pds->pdn', jr, dirs_r)], axis=1)
+
+    # per-facet aref from direction velocities (never materializes the
+    # facet Jacobians): aref_f = -b (v_n + sign mu v_di) - k imp pos
+    vd = jnp.einsum('pdn,n->pd', jd, d.qvel)         # (P, ndirs)
+    base = -b * vd[:, 0] - k * imp * pos             # (P,)
+    facets = PYRAMID_FACETS[condim]
+    aref = jnp.stack(
+        [base - b * sgn * mu[:, col] * vd[:, di] if sgn else base
+         for (di, col, sgn) in facets])              # (nrep, P)
+    out.append(PointRows(jd=jd, aref=aref, dvec=dvec, mu=mu.T,
+                         condim=condim))
+  return out
+
+
+def expand_point_rows(pr: PointRows):
+  """Facet-expand a PointRows group to dense rows (the XLA fallback /
+  reference path; the fused kernel performs this expansion in VMEM).
+
+  Returns (j (nrep*P, nv), aref (nrep*P,), dvec (nrep*P,)) in the same
+  facet-major order as contact_blocks."""
+  from mujoco_mpc_tpu.ops import pallas_newton
+  return pallas_newton.expand_group(pr.jd, pr.aref, pr.dvec, pr.mu,
+                                    pr.condim)
 
 
 class ConeRows(NamedTuple):
@@ -847,10 +949,13 @@ def make_rows(m: Model, d: Data):
 
 def make_rows_split(m: Model, d: Data):
   """(dense Rows | None, ScalarRows | None, ConeRows | None,
-  FrictionRows | None): joint limits and frictionloss rows kept one-hot
-  so the Newton solve never materializes their J block; under
+  FrictionRows | None, list[PointRows]): joint limits and frictionloss
+  rows kept one-hot so the Newton solve never materializes their J
+  block; pyramidal contacts kept in point-direction form (PointRows) so
+  the facet expansion happens inside the solve; under
   <option cone="elliptic"/> the condim>1 contacts move to grouped cone
   rows (condim-1 contacts stay one-sided dense rows)."""
+  points: list[PointRows] = []
   if m.opt.cone == 1:
     contact = _concat_rows(
         [b.rows for b in contact_blocks(m, d, condims=(1,))]) \
@@ -858,17 +963,20 @@ def make_rows_split(m: Model, d: Data):
     cone_blk = cone_contact_blocks(m, d)
     cone = cone_blk.rows if cone_blk is not None else None
   else:
-    contact = _contact_rows(m, d)
+    contact = None
+    points = contact_point_groups(m, d)
     cone = None
   dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
                         contact])
-  return dense, _limit_rows_scalar(m, d), cone, _friction_rows(m, d)
+  return dense, _limit_rows_scalar(m, d), cone, _friction_rows(m, d), \
+      points
 
 
 def solve(m: Model, d: Data, rows: Rows | None,
           scalar: ScalarRows | None = None,
           cone: ConeRows | None = None,
           friction: FrictionRows | None = None,
+          points: list[PointRows] = (),
           max_iterations: int = None,
           tolerance: float = None) -> Data:
   """Primal Newton solve for qacc given constraint rows.
@@ -894,7 +1002,8 @@ def solve(m: Model, d: Data, rows: Rows | None,
     max_iterations = m.opt.iterations
   if tolerance is None:
     tolerance = 1e-5 if d.qpos.dtype == jnp.float32 else 1e-8
-  if rows is None and scalar is None and cone is None and friction is None:
+  if (rows is None and scalar is None and cone is None
+      and friction is None and not points):
     return d.replace(qfrc_constraint=_tm.match_vma(
         jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
 
@@ -937,11 +1046,16 @@ def solve(m: Model, d: Data, rows: Rows | None,
     dvec_f = aref_f
     loss_f = aref_f
 
+  condims = tuple(int(p.condim) for p in points)
+  group_args = []
+  for p in points:
+    group_args += [p.jd, p.aref, p.dvec, p.mu]
   newton = pallas_newton.make_newton(dof, sign, int(max_iterations),
-                                     float(tolerance), fdof=fdof)
-  qacc, jar_d, jar_s, jar_c, jar_f = newton(
+                                     float(tolerance), fdof=fdof,
+                                     condims=condims)
+  qacc, jar_d, jar_s, jar_c, jar_f, *jar_pts = newton(
       qm, qacc_smooth, j_mat, aref_d, dvec_d, eqf, aref_s, dvec_s, c_j,
-      c_aref, c_d0, c_s, c_mu, aref_f, dvec_f, loss_f)
+      c_aref, c_d0, c_s, c_mu, aref_f, dvec_f, loss_f, *group_args)
 
   qfrc_constraint = _tm.match_vma(jnp.zeros(m.nv, dtype=dtype), qacc)
   if rows is not None:
@@ -960,4 +1074,15 @@ def solve(m: Model, d: Data, rows: Rows | None,
     f_f = -jnp.clip(dvec_f * jar_f, -loss_f, loss_f)
     qfrc_constraint = qfrc_constraint.at[
         np.asarray(fdof, dtype=np.int32)].add(f_f)
+  for p, jar_g in zip(points, jar_pts):
+    # facet force f = max(0, -D jar); fold back through the facet table
+    # as per-direction coefficients (the transpose of the expansion)
+    f_g = jnp.where(jar_g < 0, -p.dvec[None, :] * jar_g, 0.0)  # (nrep, P)
+    coef = jnp.zeros(p.jd.shape[:2], dtype=dtype)              # (P, ndirs)
+    for fi, (di, col, sgn) in enumerate(PYRAMID_FACETS[p.condim]):
+      coef = coef.at[:, 0].add(f_g[fi])
+      if sgn:
+        coef = coef.at[:, di].add(sgn * p.mu[col] * f_g[fi])
+    qfrc_constraint = qfrc_constraint + jnp.einsum('pdn,pd->n', p.jd,
+                                                   coef)
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)

@@ -75,8 +75,8 @@ def forward(m: Model, d: Data) -> Data:
   d = d.replace(qfrc_constraint=tm.match_vma(
       jnp.zeros(m.nv, dtype=d.qpos.dtype), d.qpos))
   d = fwd_acceleration(m, d)  # qacc_smooth
-  rows, scalar, cone, friction = constraint.make_rows_split(m, d)
-  d = constraint.solve(m, d, rows, scalar, cone, friction)
+  rows, scalar, cone, friction, points = constraint.make_rows_split(m, d)
+  d = constraint.solve(m, d, rows, scalar, cone, friction, points)
   if m.opt.noslip_iterations > 0:
     from mujoco_mpc_tpu.physics import noslip
     d = noslip.apply(m, d, m.opt.noslip_iterations)

@@ -170,6 +170,100 @@ def test_implicit_jvp_matches_loop_jacfwd():
                              rtol=1e-6, atol=1e-8)
 
 
+def _synthetic_group(key, bsz, p, condim, nv, dtype=jnp.float32):
+  """Random point-direction contact group (jd, aref, dvec, mu)."""
+  ndirs = {1: 1, 3: 3, 4: 4, 6: 6}[condim]
+  nrep = len(pallas_newton.PYRAMID_FACETS[condim])
+  ks = jax.random.split(key, 4)
+  jd = jax.random.normal(ks[0], (bsz, p, ndirs, nv), dtype=dtype)
+  aref = jax.random.normal(ks[1], (bsz, nrep, p), dtype=dtype)
+  dvec = jax.nn.softplus(jax.random.normal(ks[2], (bsz, p), dtype=dtype))
+  mu = 0.2 + jax.random.uniform(ks[3], (bsz, 3, p), dtype=dtype)
+  return jd, aref, dvec, mu
+
+
+@pytest.mark.parametrize('condim', [1, 3, 6])
+def test_point_group_matches_expanded_dense(condim):
+  """Solving with a point group == solving its facet-expanded dense rows
+  (per-sample f64 reference path)."""
+  nv, p = 6, 3
+  args = _synthetic_problem(jax.random.key(8), 1, nv, 2, 0,
+                            dtype=jnp.float64)
+  qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = (a[0] for a in args)
+  gjd, garef, gdvec, gmu = (a[0] for a in _synthetic_group(
+      jax.random.key(9), 1, p, condim, nv, dtype=jnp.float64))
+  cone = _cone_empty(nv, jnp.float64)
+
+  got = pallas_newton._newton_reference(
+      qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *cone,
+      dof=(), sign=(), cap=100, tol=1e-12, condims=(condim,),
+      groups=((gjd, garef, gdvec, gmu),))
+  ej, ea, ed = pallas_newton.expand_group(gjd, garef, gdvec, gmu, condim)
+  want = pallas_newton._newton_reference(
+      qm, qs, jnp.concatenate([j, ej]), jnp.concatenate([aref, ea]),
+      jnp.concatenate([dvec, ed]),
+      jnp.concatenate([eqf, jnp.zeros_like(ea)]), s_aref, s_dvec, *cone,
+      dof=(), sign=(), cap=100, tol=1e-12)
+  np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                             rtol=1e-10)
+  nrep = garef.shape[0]
+  np.testing.assert_allclose(
+      np.asarray(got[5]), np.asarray(want[1][2:].reshape(nrep, p)),
+      rtol=1e-10, atol=1e-12)
+
+
+def test_kernel_point_group_matches_reference():
+  """Fused kernel with in-VMEM facet expansion vs the XLA path, both
+  layouts."""
+  nv, n, ns, p = 7, 4, 2, 3
+  dof = (0, 2)
+  sign = (1.0, -1.0)
+  args = _synthetic_problem(jax.random.key(10), 260, nv, n, ns)
+  grp = _synthetic_group(jax.random.key(11), 260, p, 3, nv)
+  cone = _cone_empty(nv, jnp.float32, 260)
+
+  ref = jax.vmap(lambda *a: pallas_newton._newton_reference(
+      *a[:16], dof=dof, sign=sign, cap=30, tol=1e-6, condims=(3,),
+      groups=(tuple(a[16:20]),)))(*args, *cone, *grp)
+  for sub in (0, 2):
+    got = pallas_newton.newton_batched(*args, *grp, dof=dof, sign=sign,
+                                       cap=30, tol=1e-6, interpret=True,
+                                       sublanes=sub, condims=(3,))
+    for r, g in zip((ref[0], ref[1], ref[2], ref[5]),
+                    (got[0], got[1], got[2], got[3])):
+      np.testing.assert_allclose(np.asarray(r, np.float64),
+                                 np.asarray(g, np.float64),
+                                 rtol=2e-3, atol=1e-3)
+
+
+def test_point_group_implicit_jvp():
+  """Implicit tangent through a point group vs jacfwd of the loop."""
+  nv, p = 5, 2
+  args = _synthetic_problem(jax.random.key(12), 1, nv, 1, 0,
+                            dtype=jnp.float64)
+  qm, qs, j, aref, dvec, eqf, s_aref, s_dvec = (a[0] for a in args)
+  gjd, garef, gdvec, gmu = (a[0] for a in _synthetic_group(
+      jax.random.key(13), 1, p, 3, nv, dtype=jnp.float64))
+  cone = _cone_empty(nv, jnp.float64)
+  newton = pallas_newton.make_newton((), (), 100, 1e-12, condims=(3,))
+
+  def qacc_of(qs_, gjd_):
+    return newton(qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, *cone,
+                  gjd_, garef, gdvec, gmu)[0]
+
+  def qacc_of_ref(qs_, gjd_):
+    return pallas_newton._newton_reference(
+        qm, qs_, j, aref, dvec, eqf, s_aref, s_dvec, *cone,
+        dof=(), sign=(), cap=100, tol=1e-12, condims=(3,),
+        groups=((gjd_, garef, gdvec, gmu),))[0]
+
+  got = jax.jacfwd(qacc_of, argnums=(0, 1))(qs, gjd)
+  want = jax.jacfwd(qacc_of_ref, argnums=(0, 1))(qs, gjd)
+  for gk, wk in zip(got, want):
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_seam_vmap_falls_back_off_tpu():
   """vmap through make_newton on CPU must agree with the direct loop."""
   nv, n, ns = 4, 5, 2
