@@ -628,18 +628,41 @@ def _lane_step(t, qp, qv, u, cap):
 # ---------------------------------------------------------------------------
 
 
+SUBLANES = 8         # full f32 vreg tile is (8, 128)
+
+
+def _pick_sublanes(b: int) -> int:
+  """Batch-tile sublane count S (samples per program = S * 128): per-
+  candidate scalars become (S, 128) tiles — S=8 fills the whole f32
+  vreg, ~8x the VPU throughput of a 1-sublane (128,) lane vector.
+  MJPC_TPU_ROLLOUT_SUBLANES=0 forces the legacy lane layout."""
+  env = os.environ.get('MJPC_TPU_ROLLOUT_SUBLANES')
+  if env is not None:
+    return int(env)
+  s = min(SUBLANES, b // LANES)
+  while s > 1 and (b // LANES) % s:
+    s -= 1
+  return s
+
+
 def rollout_states(m: Model, d0, qpos0, qvel0, actions,
-                   cap: int = 6, interpret: bool = False):
+                   cap: int = 6, interpret: bool = False,
+                   sublanes: int | None = None):
   """(qpos0 (nq,), qvel0 (nv,), actions (B, T, nu)) ->
   (qpos (B, T, nq), qvel (B, T, nv)) pre-integration states.
 
   B must be a multiple of 128 (the caller pads). Every model constant is
-  baked into the kernel as a Python float."""
+  baked into the kernel as a Python float. sublanes: batch-tile sublane
+  count S (see _pick_sublanes); 0 = legacy lane layout."""
   b, t_steps, nu = actions.shape
   assert b % LANES == 0, b
   nq, nv = m.nq, m.nv
   assert nq == nv, (nq, nv)   # hinge/slide only
   dtype = actions.dtype
+  if sublanes is None:
+    sublanes = _pick_sublanes(b)
+  s = max(1, sublanes)
+  tiled = bool(sublanes)
 
   tables = _model_tables(m)
 
@@ -647,9 +670,14 @@ def rollout_states(m: Model, d0, qpos0, qvel0, actions,
     def body(i, carry):
       qp = list(carry[:nv])
       qv = list(carry[nv:])
-      qpos_out[pl.ds(i, 1)] = jnp.stack(qp)[None]
-      qvel_out[pl.ds(i, 1)] = jnp.stack(qv)[None]
-      act = actions_ref[pl.ds(i, 1)][0]
+      if tiled:
+        qpos_out[0, pl.ds(i, 1)] = jnp.stack(qp)[None]
+        qvel_out[0, pl.ds(i, 1)] = jnp.stack(qv)[None]
+        act = actions_ref[0, pl.ds(i, 1)][0]
+      else:
+        qpos_out[pl.ds(i, 1)] = jnp.stack(qp)[None]
+        qvel_out[pl.ds(i, 1)] = jnp.stack(qv)[None]
+        act = actions_ref[pl.ds(i, 1)][0]
       u = [act[k] for k in range(nu)]
       qp2, qv2 = _lane_step(tables, qp, qv, u, cap)
       return tuple(qp2) + tuple(qv2)
@@ -658,6 +686,42 @@ def rollout_states(m: Model, d0, qpos0, qvel0, actions,
     v0 = qvel0_ref[...]
     init = tuple(q0[i] for i in range(nq)) + tuple(v0[i] for i in range(nv))
     jax.lax.fori_loop(0, t_steps, body, init)
+
+  if tiled:
+    # tile layout: (B, ...) -> (G, ..., S, L); per-candidate scalars are
+    # (S, L) vreg tiles inside the kernel
+    g = b // (s * LANES)
+    acts_l = jnp.transpose(
+        actions.reshape(g, s, LANES, t_steps, nu), (0, 3, 4, 1, 2))
+    qpos0_l = jnp.broadcast_to(
+        qpos0[:, None, None], (nq, s, LANES)).astype(dtype)
+    qvel0_l = jnp.broadcast_to(
+        qvel0[:, None, None], (nv, s, LANES)).astype(dtype)
+    grid = (g,)
+    in_specs = [
+        pl.BlockSpec((1, t_steps, nu, s, LANES),
+                     lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((nq, s, LANES), lambda i: (0, 0, 0)),
+        pl.BlockSpec((nv, s, LANES), lambda i: (0, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, t_steps, nq, s, LANES),
+                     lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, t_steps, nv, s, LANES),
+                     lambda i: (i, 0, 0, 0, 0)),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((g, t_steps, nq, s, LANES), dtype),
+        jax.ShapeDtypeStruct((g, t_steps, nv, s, LANES), dtype))
+    qpos_t, qvel_t = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(acts_l, qpos0_l, qvel0_l)
+    qpos_b = jnp.transpose(qpos_t, (0, 3, 4, 1, 2)).reshape(
+        b, t_steps, nq)
+    qvel_b = jnp.transpose(qvel_t, (0, 3, 4, 1, 2)).reshape(
+        b, t_steps, nv)
+    return qpos_b, qvel_b
 
   grid = (b // LANES,)
   out_shape = (jax.ShapeDtypeStruct((t_steps, nq, b), dtype),

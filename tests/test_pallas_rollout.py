@@ -63,6 +63,20 @@ def test_fused_rollout_matches_scan(name, force_interpret):
                              rtol=2e-4, atol=1e-5)
 
 
+def test_sublane_tile_layout_matches_lane_layout(force_interpret):
+  """(S, 128) batch-tile layout vs the (128,) lane layout: identical
+  step recurrence, so trajectories agree to f32 reduction noise."""
+  b, t = 256, 20
+  spec, m, d0, acts = _setup('Cartpole', b, t, seed=5)
+  lane = pallas_rollout.rollout_states(
+      m, d0, d0.qpos, d0.qvel, acts, interpret=True, sublanes=0)
+  tile = pallas_rollout.rollout_states(
+      m, d0, d0.qpos, d0.qvel, acts, interpret=True, sublanes=2)
+  for a, c in zip(lane, tile):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_fused_rollout_limits_active(force_interpret):
   """ParticleFixed drives into its joint limits: the in-kernel fixed-cap
   limit Newton must track the XLA while_loop solve."""
