@@ -857,13 +857,23 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
     nv = qs_f.shape[-1]
     # the fused kernel handles pyramidal + limit + point-group rows;
     # elliptic-cone / frictionloss models take the vmapped XLA path
+    import os
     usable = (qs_f.ndim == 2 and qs_f.shape[0] >= MIN_BATCH
               and nv <= MAX_NV and qs_f.dtype == jnp.float32
               and base[10].shape[-1] == 0 and len(fdof) == 0
+              and os.environ.get('MJPC_TPU_FUSED_NEWTON', '1') != '0'
               and _on_tpu())
     if usable:
+      # resolve the sublane choice HERE (env read at trace time):
+      # newton_batched is itself jitted and its cache keys on the static
+      # sublanes value, so passing None could reuse a stale env decision
+      gdims = tuple((gr[0].shape[1], gr[0].shape[2], gr[1].shape[1])
+                    for gr in _split(args)[1])
+      sub = pick_sublanes(qs_f.shape[0], nv, base[2].shape[-2],
+                          base[6].shape[-1], gdims)
       out = newton_batched(*base[:8], *args[16:], dof=dof, sign=sign,
-                           cap=cap, tol=tol, condims=condims)
+                           cap=cap, tol=tol, condims=condims,
+                           sublanes=sub)
       out = (out[:3]
              + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),
                 jnp.zeros((axis_size, 0), dtype=qs_f.dtype))
