@@ -45,9 +45,18 @@ def measure_tpu_plans_per_s():
     return new_pol, info['best_return']
 
   key = jax.random.key(0)
-  # warmup / compile
-  pol, best = plan(policy, key)
-  jax.block_until_ready((pol, best))
+  # warmup / compile; if the fused Newton kernel fails to compile on
+  # this chip generation, retry once on the XLA solver path (the env
+  # knob is read at trace time and plan retraces after cache clear)
+  try:
+    pol, best = plan(policy, key)
+    jax.block_until_ready((pol, best))
+  except Exception:
+    os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
+    os.environ.pop('MJPC_TPU_FUSED_ROLLOUT', None)
+    jax.clear_caches()
+    pol, best = plan(policy, key)
+    jax.block_until_ready((pol, best))
 
   lat = []
   reps = 20
