@@ -204,7 +204,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
     jmat = sq(refs[i_ref]); i_ref += 1      # (n, nv, *tile)
     aref = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
     dvec = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
-    eqf = sq(refs[i_ref]) > 0.5; i_ref += 1  # (n, *tile) bool
+    eqf = sq(refs[i_ref]); i_ref += 1       # (n, *tile) 0/1 float
   if has_s:
     s_aref = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
     s_dvec = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
@@ -329,11 +329,16 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
   jar_d0 = matvec_j(qs) - aref if has_d else None
   jar_s0 = gather_dof(qs) - s_aref if has_s else None
   jar_g0 = [matvec_g(gi, qs) - gin[gi][1] for gi in range(len(condims))]
-  false_l = jnp.zeros(tile, dtype=bool)
+  # All per-lane masks are 0/1 floats: Mosaic on some chip generations
+  # (v5e) cannot lower stored/carried i1 vectors (i8->i1 trunci), so the
+  # only boolean values in this kernel are fresh comparisons feeding a
+  # select; activity/done/exact state is float arithmetic.
+  zeros_l = jnp.zeros(tile, dtype=dtype)
+  one = jnp.ones((), dtype=dtype)
 
   def cond(carry):
     _, _, _, _, it, done, _ = unpack(carry)
-    return jnp.logical_and(it < cap, jnp.logical_not(jnp.all(done)))
+    return jnp.logical_and(it < cap, jnp.min(done) < 0.5)
 
   def body(carry):
     qacc, jar_d, jar_s, jar_gs, it, done, prev_exact = unpack(carry)
@@ -343,8 +348,8 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
     h = [[qm[i, j, :] + (_DAMP if i == j else 0.0) for j in range(nv)]
          for i in range(nv)]
     if has_d:
-      active_d = jnp.logical_or(jar_d < 0, eqf)
-      w_d = jnp.where(active_d, dvec, 0.0)
+      active_d = jnp.where(jar_d < 0, one, eqf)   # 0/1 float
+      w_d = active_d * dvec
       g = g + jt_vec(w_d * jar_d)
       for i in range(nv):
         for j in range(i + 1):
@@ -353,16 +358,16 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
           if i != j:
             h[j][i] = h[j][i] + hij
     if has_s:
-      active_s = jar_s < 0
-      w_s = jnp.where(active_s, s_dvec, 0.0)
+      active_s = jnp.where(jar_s < 0, one, 0.0)   # 0/1 float
+      w_s = active_s * s_dvec
       g = g + scatter_dof(w_s * jar_s)
       for r in range(ns):
         h[dof[r]][dof[r]] = h[dof[r]][dof[r]] + w_s[r, :]
     active_gs = []
     w_gs = []
     for gi in range(len(condims)):
-      active_g = jar_gs[gi] < 0
-      w_g = jnp.where(active_g, gin[gi][2][None], 0.0)
+      active_g = jnp.where(jar_gs[gi] < 0, one, 0.0)  # 0/1 float
+      w_g = active_g * gin[gi][2][None]
       active_gs.append(active_g)
       w_gs.append(w_g)
       g = g + jt_g(gi, w_g * jar_gs[gi])
@@ -390,7 +395,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       c = 0.5 * eme - a * sme + 0.5 * a * a * sms
       if has_d:
         jc = jar_d - a * js_d
-        pc = jnp.where(jnp.logical_or(jc < 0, eqf), dvec, 0.0)
+        pc = jnp.where(jc < 0, one, eqf) * dvec
         c = c + 0.5 * jnp.sum(pc * jc * jc, axis=0)
       if has_s:
         jc = jar_s - a * js_s
@@ -402,12 +407,12 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
         c = c + 0.5 * jnp.sum(pc * jc * jc, axis=(0, 1))
       if best_cost is None:
         best_cost, best_alpha = c, jnp.full(tile, a, dtype=dtype)
-        best_is_full = jnp.zeros(tile, dtype=bool)
+        best_is_full = zeros_l
       else:
         better = c < best_cost
         best_cost = jnp.where(better, c, best_cost)
         best_alpha = jnp.where(better, a, best_alpha)
-        best_is_full = jnp.where(better, a == 1.0, best_is_full)
+        best_is_full = jnp.where(better, float(a == 1.0), best_is_full)
 
     alpha = best_alpha
     qacc_new = qacc - alpha[None, :] * step
@@ -415,38 +420,39 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
     jar_s_new = jar_s - alpha[None, :] * js_s if has_s else None
     jar_gs_new = [jar_gs[gi] - alpha[None, None] * js_gs[gi]
                   for gi in range(len(condims))]
-    stable = jnp.ones(tile, dtype=bool)
+    # active-set stability: count sign flips as float sums (no bool
+    # vectors); stable lanes have zero flips
+    flips = zeros_l
     if has_d:
-      stable = jnp.logical_and(
-          stable,
-          jnp.all(jnp.logical_or(jar_d_new < 0, eqf) == active_d, axis=0))
+      new_act_d = jnp.where(jar_d_new < 0, one, eqf)
+      flips = flips + jnp.sum(jnp.abs(new_act_d - active_d), axis=0)
     if has_s:
-      stable = jnp.logical_and(
-          stable, jnp.all((jar_s_new < 0) == active_s, axis=0))
+      new_act_s = jnp.where(jar_s_new < 0, one, 0.0)
+      flips = flips + jnp.sum(jnp.abs(new_act_s - active_s), axis=0)
     for gi in range(len(condims)):
-      stable = jnp.logical_and(
-          stable, jnp.all((jar_gs_new[gi] < 0) == active_gs[gi],
-                          axis=(0, 1)))
-    exact = jnp.logical_and(best_is_full, stable)
+      new_act_g = jnp.where(jar_gs_new[gi] < 0, one, 0.0)
+      flips = flips + jnp.sum(jnp.abs(new_act_g - active_gs[gi]),
+                              axis=(0, 1))
+    exact = jnp.where(flips > 0, 0.0, best_is_full)
     step_norm = jnp.sqrt(jnp.sum(step * step, axis=0))
     qn = jnp.sqrt(jnp.sum(qacc_new * qacc_new, axis=0))
-    small = step_norm <= tol * (1.0 + qn)
-    newly_done = jnp.logical_or(jnp.logical_and(exact, prev_exact), small)
+    small = jnp.where(step_norm <= tol * (1.0 + qn), one, 0.0)
+    newly_done = jnp.maximum(exact * prev_exact, small)
     # freeze lanes that were already done (matches vmapped while_loop
     # semantics: body updates are masked per sample)
-    keep = done[None, :]
-    keep2 = done[None, None]
+    keep = done[None, :] > 0.5
+    keep2 = done[None, None] > 0.5
     qacc = jnp.where(keep, qacc, qacc_new)
     jar_d = jnp.where(keep, jar_d, jar_d_new) if has_d else None
     jar_s = jnp.where(keep, jar_s, jar_s_new) if has_s else None
     jar_gs = [jnp.where(keep2, jar_gs[gi], jar_gs_new[gi])
               for gi in range(len(condims))]
-    prev_exact = jnp.where(done, prev_exact, exact)
-    done = jnp.logical_or(done, newly_done)
+    prev_exact = jnp.where(done > 0.5, prev_exact, exact)
+    done = jnp.maximum(done, newly_done)
     return pack(qacc, jar_d, jar_s, jar_gs, it + 1, done, prev_exact)
 
   init = pack(qs, jar_d0, jar_s0, jar_g0, jnp.asarray(0, dtype=jnp.int32),
-              false_l, false_l)
+              zeros_l, zeros_l)
   qacc, jar_d, jar_s, jar_gs, _, _, _ = unpack(
       jax.lax.while_loop(cond, body, init))
   if sublanes:
