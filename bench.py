@@ -126,7 +126,7 @@ def measure_extra_configs():
                         ('Humanoid Track', 512, 'humanoid_track_ps512_p50_ms'),
                         ('Shadow Reorient', 8192, 'shadow_ps8192_p50_ms'),
                         ('Cube Solving', 4096, 'rubik_ps4096_p50_ms')]:
-    try:
+    def run_once(task=task, ns=ns):
       spec = registry.get_task(task)
       m = spec.model
       t_steps = agent_mod.horizon_steps(spec)
@@ -154,9 +154,26 @@ def measure_extra_configs():
         jax.block_until_ready(r)
         lat.append(_time.perf_counter() - t0)
       lat.sort()
-      out[key] = round(lat[len(lat) // 2] * 1e3, 1)
-    except Exception:
-      out[key] = -1.0
+      return round(lat[len(lat) // 2] * 1e3, 1)
+
+    # degrade loudly: retry each config on the XLA solver path before
+    # giving up, and never emit a bare -1.0 without the error string
+    # (round-2 lesson: silent -1.0 hid a Mosaic compile failure)
+    try:
+      out[key] = run_once()
+    except Exception as e_fused:
+      os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
+      jax.clear_caches()
+      try:
+        out[key] = run_once()
+        out[key + '_note'] = ('fused kernel failed, XLA path used: '
+                              + str(e_fused)[:160])
+      except Exception as e_xla:
+        out[key] = -1.0
+        out[key + '_error'] = str(e_xla)[:200]
+      finally:
+        os.environ.pop('MJPC_TPU_FUSED_NEWTON', None)
+        jax.clear_caches()
 
   # BASELINE config #2: derivative-based backward pass (iLQG) on
   # Particle + Swimmer (reference: testspeed with planner_id=2)
@@ -182,8 +199,9 @@ def measure_extra_configs():
         lat.append(_time.perf_counter() - t0)
       lat.sort()
       out[key] = round(lat[len(lat) // 2] * 1e3, 1)
-    except Exception:
+    except Exception as e:
       out[key] = -1.0
+      out[key + '_error'] = str(e)[:200]
   return out
 
 

@@ -201,7 +201,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
   qm = sq(refs[i_ref]); i_ref += 1          # (nv, nv, *tile)
   qs = sq(refs[i_ref]); i_ref += 1          # (nv, *tile)
   if has_d:
-    jmat = sq(refs[i_ref]); i_ref += 1      # (n, nv, *tile)
+    jmat = sq(refs[i_ref]); i_ref += 1      # (nv, n, *tile)  TRANSPOSED
     aref = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
     dvec = sq(refs[i_ref]); i_ref += 1      # (n, *tile)
     eqf = sq(refs[i_ref]); i_ref += 1       # (n, *tile) 0/1 float
@@ -210,7 +210,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
     s_dvec = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
   gin = []
   for _ in condims:
-    jd_g = sq(refs[i_ref]); i_ref += 1      # (P, ndirs, nv, *tile)
+    jd_g = sq(refs[i_ref]); i_ref += 1      # (ndirs, nv, P, *tile) TRANSP.
     aref_g = sq(refs[i_ref]); i_ref += 1    # (nrep, P, *tile)
     dvec_g = sq(refs[i_ref]); i_ref += 1    # (P, *tile)
     mu_g = sq(refs[i_ref]); i_ref += 1      # (3, P, *tile)
@@ -229,6 +229,16 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
   sgn = np.asarray(sign, dtype=dtype)  # kernel dtype: a float64 constant
                                        # would promote the whole carry
 
+  # Mosaic on v5e rejects reductions over dims whose layout carries a
+  # non-zero (sublane) offset — which is exactly what slicing a middle
+  # dim of a 3D operand produces.  Two rules keep every reduction legal:
+  # (1) dof-indexed operands (jmat, jd) arrive TRANSPOSED so per-column
+  # slices are leading/vreg-dim slices (offset 0), and (2) multi-axis
+  # reductions are decomposed into sequential single-axis reductions
+  # (rsum2), whose leading-dim reduce never sees a minor-dim offset.
+  def rsum2(x):                        # (a, b, *t) -> (*t)
+    return jnp.sum(jnp.sum(x, axis=0), axis=0)
+
   # loop-invariant facet expansion: per group, fcol[k] stacks the k-th
   # Jacobian column of every facet row, (nrep, P, *tile)
   fcols = []
@@ -236,29 +246,26 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
     facets = PYRAMID_FACETS[cdim]
     cols = []
     for k in range(nv):
-      jn_k = jd_g[:, 0, k]
+      jn_k = jd_g[0, k]                # (P, *t), vreg-dim slices
       cols.append(jnp.stack(
-          [jn_k + sf * mu_g[col] * jd_g[:, di, k] if sf else jn_k
+          [jn_k + sf * mu_g[col] * jd_g[di, k] if sf else jn_k
            for (di, col, sf) in facets]))
     fcols.append(cols)
 
-  def matvec_m(x):                     # (nv, *t) -> (nv, *t)
-    return jnp.stack([
-        sum(qm[i, k, :] * x[k, :] for k in range(nv)) for i in range(nv)])
+  def matvec_m(x):                     # (nv, *t) -> (nv, *t); M symmetric
+    return jnp.sum(qm * x[:, None], axis=0)
 
   def matvec_j(x):                     # (nv, *t) -> (n, *t)
-    return sum(jmat[:, k, :] * x[k, :][None, :] for k in range(nv))
+    return jnp.sum(jmat * x[:, None], axis=0)
 
   def jt_vec(y):                       # (n, *t) -> (nv, *t): J^T y
-    return jnp.stack([jnp.sum(jmat[:, i, :] * y, axis=0)
-                      for i in range(nv)])
+    return jnp.sum(jmat * y[None], axis=1)
 
   def matvec_g(gi, x):                 # (nv, *t) -> (nrep, P, *t)
     return sum(fcols[gi][k] * x[k][None, None] for k in range(nv))
 
   def jt_g(gi, y):                     # (nrep, P, *t) -> (nv, *t)
-    return jnp.stack([jnp.sum(fcols[gi][i] * y, axis=(0, 1))
-                      for i in range(nv)])
+    return jnp.stack([rsum2(fcols[gi][i] * y) for i in range(nv)])
 
   def gather_dof(x):                   # (nv, *t) -> (ns, *t): sign * x[dof]
     return jnp.stack([x[dof[r], :] * sgn[r] for r in range(ns)])
@@ -352,8 +359,9 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       w_d = active_d * dvec
       g = g + jt_vec(w_d * jar_d)
       for i in range(nv):
+        wji = w_d * jmat[i]                       # (n, *t), offset-0 rows
         for j in range(i + 1):
-          hij = jnp.sum(w_d * jmat[:, i, :] * jmat[:, j, :], axis=0)
+          hij = jnp.sum(wji * jmat[j], axis=0)
           h[i][j] = h[i][j] + hij
           if i != j:
             h[j][i] = h[j][i] + hij
@@ -373,8 +381,9 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       g = g + jt_g(gi, w_g * jar_gs[gi])
       fc = fcols[gi]
       for i in range(nv):
+        wfi = w_g * fc[i]                         # (nrep, P, *t)
         for j in range(i + 1):
-          hij = jnp.sum(w_g * fc[i] * fc[j], axis=(0, 1))
+          hij = rsum2(wfi * fc[j])
           h[i][j] = h[i][j] + hij
           if i != j:
             h[j][i] = h[j][i] + hij
@@ -404,7 +413,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       for gi in range(len(condims)):
         jc = jar_gs[gi] - a * js_gs[gi]
         pc = jnp.where(jc < 0, gin[gi][2][None], 0.0)
-        c = c + 0.5 * jnp.sum(pc * jc * jc, axis=(0, 1))
+        c = c + 0.5 * rsum2(pc * jc * jc)
       if best_cost is None:
         best_cost, best_alpha = c, jnp.full(tile, a, dtype=dtype)
         best_is_full = zeros_l
@@ -431,8 +440,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       flips = flips + jnp.sum(jnp.abs(new_act_s - active_s), axis=0)
     for gi in range(len(condims)):
       new_act_g = jnp.where(jar_gs_new[gi] < 0, one, 0.0)
-      flips = flips + jnp.sum(jnp.abs(new_act_g - active_gs[gi]),
-                              axis=(0, 1))
+      flips = flips + rsum2(jnp.abs(new_act_g - active_gs[gi]))
     exact = jnp.where(flips > 0, 0.0, best_is_full)
     step_norm = jnp.sqrt(jnp.sum(step * step, axis=0))
     qn = jnp.sqrt(jnp.sum(qacc_new * qacc_new, axis=0))
@@ -471,6 +479,49 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
       jars_out[...] = jar_s
     for gi in range(len(condims)):
       jarg_out[gi][...] = jar_gs[gi]
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_compile_ok(nv, n, ns, gdims, dof, sign, cap, tol, condims,
+                      sublanes) -> bool:
+  """Compile-smoke probe: build the kernel for this static config on a
+  minimal batch and report whether Mosaic accepts it.
+
+  Mosaic compile failures surface when the *outer* jit compiles — far too
+  late to reroute. This probe runs eagerly at trace time (memoized per
+  static config) so dispatch (_newton_vmap) can fall back to the XLA
+  solver path instead of shipping a plan that crashes at compile time.
+  The reference's physics never fails to run (mjpc/trajectory.cc:158);
+  neither may ours."""
+  if not _on_tpu():
+    return False
+  import warnings
+  try:
+    with jax.ensure_compile_time_eval():
+      tile_b = max(1, sublanes) * LANES
+      f32 = jnp.float32
+      qm = jnp.broadcast_to(jnp.eye(nv, dtype=f32), (tile_b, nv, nv))
+      qs = jnp.zeros((tile_b, nv), dtype=f32)
+      j = jnp.zeros((tile_b, n, nv), dtype=f32)
+      row = jnp.zeros((tile_b, n), dtype=f32)
+      srow = jnp.zeros((tile_b, ns), dtype=f32)
+      gargs = []
+      for (p, ndirs, nrep) in gdims:
+        gargs += [jnp.zeros((tile_b, p, ndirs, nv), dtype=f32),
+                  jnp.zeros((tile_b, nrep, p), dtype=f32),
+                  jnp.zeros((tile_b, p), dtype=f32),
+                  jnp.full((tile_b, 3, p), 0.5, dtype=f32)]
+      out = newton_batched(qm, qs, j, row, row, row, srow, srow, *gargs,
+                           dof=dof, sign=sign, cap=cap, tol=tol,
+                           condims=condims, sublanes=sublanes)
+      jax.block_until_ready(out)
+    return True
+  except Exception as e:  # Mosaic/XLA compile errors: fall back, loudly
+    warnings.warn(
+        'fused Newton kernel failed to compile on this backend '
+        f'(nv={nv}, n={n}, ns={ns}, groups={gdims}, sublanes={sublanes}); '
+        f'using the XLA solver path. Error: {str(e)[:300]}')
+    return False
 
 
 def _lane_pad(x, pad, fill=0.0):
@@ -589,16 +640,21 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
   operands = [prep(qm), prep(qs)]
   in_specs = [spec(nv, nv), spec(nv)]
   if has_d:
-    operands += [prep(j), prep(aref), prep(dvec),
-                 prep(eqf.astype(qm.dtype))]
-    in_specs += [spec(n, nv), spec(n), spec(n), spec(n)]
+    # J transposed to (nv, n): per-dof columns become leading/vreg-dim
+    # slices inside the kernel (zero sublane offset — see _newton_kernel).
+    # eqf re-binarized at the trace-time boundary so a non-0/1 float from
+    # a future caller fails safe instead of weighting penalties.
+    operands += [prep(jnp.swapaxes(j, 1, 2)), prep(aref), prep(dvec),
+                 prep((eqf > 0.5).astype(qm.dtype))]
+    in_specs += [spec(nv, n), spec(n), spec(n), spec(n)]
   if has_s:
     operands += [prep(s_aref), prep(s_dvec)]
     in_specs += [spec(ns), spec(ns)]
   for gr, (p, ndirs, nrep) in zip(groups, gdims):
-    operands += [prep(gr[0]), prep(gr[1]), prep(gr[2]),
-                 prep(gr[3].astype(qm.dtype))]
-    in_specs += [spec(p, ndirs, nv), spec(nrep, p), spec(p), spec(3, p)]
+    # jd transposed to (ndirs, nv, P) for the same offset-0 slicing rule
+    operands += [prep(jnp.transpose(gr[0], (0, 2, 3, 1))), prep(gr[1]),
+                 prep(gr[2]), prep(gr[3].astype(qm.dtype))]
+    in_specs += [spec(ndirs, nv, p), spec(nrep, p), spec(p), spec(3, p)]
 
   out_shape = [out_sds(nv)]
   out_specs = [spec(nv)]
@@ -877,6 +933,9 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
                     for gr in _split(args)[1])
       sub = pick_sublanes(qs_f.shape[0], nv, base[2].shape[-2],
                           base[6].shape[-1], gdims)
+      usable = kernel_compile_ok(nv, base[2].shape[-2], base[6].shape[-1],
+                                 gdims, dof, sign, cap, tol, condims, sub)
+    if usable:
       out = newton_batched(*base[:8], *args[16:], dof=dof, sign=sign,
                            cap=cap, tol=tol, condims=condims,
                            sublanes=sub)
