@@ -497,24 +497,20 @@ def kernel_compile_ok(nv, n, ns, gdims, dof, sign, cap, tol, condims,
     return False
   import warnings
   try:
-    with jax.ensure_compile_time_eval():
-      tile_b = max(1, sublanes) * LANES
-      f32 = jnp.float32
-      qm = jnp.broadcast_to(jnp.eye(nv, dtype=f32), (tile_b, nv, nv))
-      qs = jnp.zeros((tile_b, nv), dtype=f32)
-      j = jnp.zeros((tile_b, n, nv), dtype=f32)
-      row = jnp.zeros((tile_b, n), dtype=f32)
-      srow = jnp.zeros((tile_b, ns), dtype=f32)
-      gargs = []
-      for (p, ndirs, nrep) in gdims:
-        gargs += [jnp.zeros((tile_b, p, ndirs, nv), dtype=f32),
-                  jnp.zeros((tile_b, nrep, p), dtype=f32),
-                  jnp.zeros((tile_b, p), dtype=f32),
-                  jnp.full((tile_b, 3, p), 0.5, dtype=f32)]
-      out = newton_batched(qm, qs, j, row, row, row, srow, srow, *gargs,
-                           dof=dof, sign=sign, cap=cap, tol=tol,
-                           condims=condims, sublanes=sublanes)
-      jax.block_until_ready(out)
+    # AOT lower+compile (never executed): .lower() opens its own trace, so
+    # this is safe to run while the caller is itself being traced.
+    # (ensure_compile_time_eval is NOT safe here: it makes the kernel's
+    # internal jnp constants eager, which Pallas rejects as captures.)
+    tile_b = max(1, sublanes) * LANES
+    f32 = jnp.float32
+    sds = lambda *s: jax.ShapeDtypeStruct((tile_b,) + s, f32)  # noqa: E731
+    gargs = []
+    for (p, ndirs, nrep) in gdims:
+      gargs += [sds(p, ndirs, nv), sds(nrep, p), sds(p), sds(3, p)]
+    newton_batched.lower(
+        sds(nv, nv), sds(nv), sds(n, nv), sds(n), sds(n), sds(n),
+        sds(ns), sds(ns), *gargs, dof=dof, sign=sign, cap=cap, tol=tol,
+        condims=condims, sublanes=sublanes).compile()
     return True
   except Exception as e:  # Mosaic/XLA compile errors: fall back, loudly
     warnings.warn(
