@@ -13,6 +13,11 @@ import json
 import os
 import time
 
+# persistent compile cache: the six configs cost minutes of XLA compile
+# each; cache hits make driver re-runs measure steady-state, not compile
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.jax_cache'))
+
 NUM_SAMPLES = 8192
 SPLINE_POINTS = 10
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -95,6 +95,39 @@ def expand_group(jd, aref, dvec, mu, condim):
 
 
 # ---------------------------------------------------------------------------
+# Factored point-group Jacobians.
+#
+# A contact direction row never needs the (P, ndirs, nv) Jacobian
+# materialized: with cdofc[n] = [cdof_ang[n], cdof_lin[n] -
+# cross(cdof_ang[n], subtree_com[root_of_dof(n)])] (the dof motion axis
+# re-anchored at the world origin) and the STATIC ancestor-mask
+# difference dmask[p, n] = mask(b2)[n] - mask(b1)[n],
+#
+#   jd[p, d, n] = (G[p, d] . cdofc[n]) * dmask[p, n],
+#   G[p, d]     = [pos3[p] x dirs[p, d], dirs[p, d]]       (translational)
+#                 [dirs[p, d], 0]                          (rotational)
+#
+# exactly (two-body difference included: for any dof the masks select,
+# the dof's tree root equals the body's root, so the subtree-com anchor
+# is a per-dof constant). The fused kernel takes G (P, ndirs, 6) +
+# cdofc (nv, 6) and builds the facet columns in VMEM; the XLA/reference
+# path materializes jd with one einsum. dmask entries are in {-1, 0, 1}
+# and are host constants, shipped to the kernel via `dmasks` (bytes).
+# ---------------------------------------------------------------------------
+
+
+def materialize_jd(g, cdofc, dmask):
+  """jd (..., P, ndirs, nv) from factored G (..., P, ndirs, 6),
+  cdofc (..., nv, 6), static dmask (P, nv)."""
+  jd = jnp.einsum('...pdj,...nj->...pdn', g, cdofc)
+  return jd * jnp.asarray(dmask, dtype=jd.dtype)[:, None, :]
+
+
+def _decode_dmask(b, p, nv):
+  return np.frombuffer(b, dtype=np.float32).reshape(p, nv)
+
+
+# ---------------------------------------------------------------------------
 # Elliptic friction cones (MJCF <option cone="elliptic"/>).
 #
 # Per condim>1 contact: 6 contact-frame rows (normal, t1, t2, torsion,
@@ -180,7 +213,7 @@ def cone_hess(jar_c, d0, s, mu):
 
 
 def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
-                   refs):
+                   dmasks, refs):
   """One batch tile: refs layout (see newton_batched for operand order).
 
   Two layouts share this body. Lane layout (sublanes=0): per-sample
@@ -208,13 +241,16 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
   if has_s:
     s_aref = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
     s_dvec = sq(refs[i_ref]); i_ref += 1    # (ns, *tile)
+  cdofc = None
+  if condims:
+    cdofc = sq(refs[i_ref]); i_ref += 1     # (nv, 6, *tile)
   gin = []
   for _ in condims:
-    jd_g = sq(refs[i_ref]); i_ref += 1      # (ndirs, nv, P, *tile) TRANSP.
+    g_g = sq(refs[i_ref]); i_ref += 1       # (ndirs, 6, P, *tile) TRANSP.
     aref_g = sq(refs[i_ref]); i_ref += 1    # (nrep, P, *tile)
     dvec_g = sq(refs[i_ref]); i_ref += 1    # (P, *tile)
     mu_g = sq(refs[i_ref]); i_ref += 1      # (3, P, *tile)
-    gin.append((jd_g, aref_g, dvec_g, mu_g))
+    gin.append((g_g, aref_g, dvec_g, mu_g))
   qacc_out = refs[i_ref]; i_ref += 1
   jar_out = None
   if has_d:
@@ -239,17 +275,42 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
   def rsum2(x):                        # (a, b, *t) -> (*t)
     return jnp.sum(jnp.sum(x, axis=0), axis=0)
 
-  # loop-invariant facet expansion: per group, fcol[k] stacks the k-th
-  # Jacobian column of every facet row, (nrep, P, *tile)
+  # loop-invariant facet expansion from the FACTORED form: per group,
+  # fcol[k] stacks the k-th Jacobian column of every facet row,
+  # (nrep, P, *tile). Columns are built as (GF[f] . cdofc[k]) * dmask
+  # where GF[f] = G[normal] + sign*mu*G[dir] is the facet-combined
+  # 6-vector factor — the (P, ndirs, nv) jd tensor never exists, in
+  # VMEM or HBM. dmask columns are host constants; all-zero columns
+  # (dofs no contact in the group touches) skip the arithmetic.
   fcols = []
-  for (jd_g, _, _, mu_g), cdim in zip(gin, condims):
+  for gi, ((g_g, _, _, mu_g), cdim) in enumerate(zip(gin, condims)):
     facets = PYRAMID_FACETS[cdim]
+    p_g = g_g.shape[2]
+    dm = _decode_dmask(dmasks[gi], p_g, nv)
+    gf = []                            # per facet: list of 6 (P, *t)
+    for (di, col, sf) in facets:
+      if sf:
+        gf.append([g_g[0, jj] + sf * mu_g[col] * g_g[di, jj]
+                   for jj in range(6)])
+      else:
+        gf.append([g_g[0, jj] for jj in range(6)])
     cols = []
+    zcol = None
+    ztile = jnp.zeros(tile, dtype=dtype)
     for k in range(nv):
-      jn_k = jd_g[0, k]                # (P, *t), vreg-dim slices
-      cols.append(jnp.stack(
-          [jn_k + sf * mu_g[col] * jd_g[di, k] if sf else jn_k
-           for (di, col, sf) in facets]))
+      mcol = dm[:, k]
+      if not np.any(mcol):
+        if zcol is None:
+          zcol = jnp.zeros((len(facets), p_g) + tile, dtype=dtype)
+        cols.append(zcol)
+        continue
+      # the mask vector is built from scalar splat constants — Pallas
+      # rejects closure-captured (non-splat) array constants
+      mc = jnp.stack([jnp.full(tile, float(v), dtype=dtype) if v else
+                      ztile for v in mcol])
+      percol = [mc * sum(gf[f][jj] * cdofc[k, jj] for jj in range(6))
+                for f in range(len(facets))]
+      cols.append(jnp.stack(percol))
     fcols.append(cols)
 
   def matvec_m(x):                     # (nv, *t) -> (nv, *t); M symmetric
@@ -483,7 +544,7 @@ def _newton_kernel(nv, n, ns, dof, sign, cap, tol, sublanes, condims,
 
 @functools.lru_cache(maxsize=None)
 def kernel_compile_ok(nv, n, ns, gdims, dof, sign, cap, tol, condims,
-                      sublanes) -> bool:
+                      sublanes, dmasks=()) -> bool:
   """Compile-smoke probe: build the kernel for this static config on a
   minimal batch and report whether Mosaic accepts it.
 
@@ -504,13 +565,13 @@ def kernel_compile_ok(nv, n, ns, gdims, dof, sign, cap, tol, condims,
     tile_b = max(1, sublanes) * LANES
     f32 = jnp.float32
     sds = lambda *s: jax.ShapeDtypeStruct((tile_b,) + s, f32)  # noqa: E731
-    gargs = []
+    gargs = [sds(nv, 6)] if condims else []
     for (p, ndirs, nrep) in gdims:
-      gargs += [sds(p, ndirs, nv), sds(nrep, p), sds(p), sds(3, p)]
+      gargs += [sds(p, ndirs, 6), sds(nrep, p), sds(p), sds(3, p)]
     newton_batched.lower(
         sds(nv, nv), sds(nv), sds(n, nv), sds(n), sds(n), sds(n),
         sds(ns), sds(ns), *gargs, dof=dof, sign=sign, cap=cap, tol=tol,
-        condims=condims, sublanes=sublanes).compile()
+        condims=condims, sublanes=sublanes, dmasks=dmasks).compile()
     return True
   except Exception as e:  # Mosaic/XLA compile errors: fall back, loudly
     warnings.warn(
@@ -544,10 +605,13 @@ def pick_sublanes(bsz, nv, n, ns, groups=()) -> int:
   # carries and temporaries
   lead = (nv * nv + nv + n * nv + 3 * n + 2 * ns
           + nv + n + ns) + 2 * (nv + n + ns)
+  if groups:
+    lead += nv * 6                      # shared cdofc operand
   for (p, ndirs, nrep) in groups:
-    # jd + aref/dvec/mu + jar carries + the in-VMEM facet columns
-    lead += p * ndirs * nv + (nrep + 4) * p + 3 * nrep * p \
-        + nv * nrep * p
+    # factored G + aref/dvec/mu + jar carries + the in-VMEM facet
+    # columns and facet-combined factors GF
+    lead += p * ndirs * 6 + (nrep + 4) * p + 3 * nrep * p \
+        + nv * nrep * p + 6 * nrep * p
   if lead * SUBLANES * LANES * 4 > _VMEM_BUDGET:
     return 0
   return int(max(1, min(SUBLANES, bsz // LANES)))
@@ -556,15 +620,17 @@ def pick_sublanes(bsz, nv, n, ns, groups=()) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=('dof', 'sign', 'cap', 'tol', 'interpret', 'sublanes',
-                     'condims'))
+                     'condims', 'dmasks'))
 def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
                    dof, sign, cap, tol, interpret=False, sublanes=None,
-                   condims=()):
+                   condims=(), dmasks=()):
   """Batch-first Newton solve via the fused kernel.
 
   qm (B, nv, nv), qs (B, nv), j (B, n, nv), aref/dvec/eqf (B, n),
-  s_aref/s_dvec (B, ns), then 4 operands per point group (jd
-  (B, P, ndirs, nv), aref (B, nrep, P), dvec (B, P), mu (B, 3, P)) ->
+  s_aref/s_dvec (B, ns); when point groups are present, one shared
+  cdofc (B, nv, 6) operand followed by 4 operands per group in the
+  FACTORED form (g (B, P, ndirs, 6), aref (B, nrep, P), dvec (B, P),
+  mu (B, 3, P)) with the static ancestor-mask bytes in `dmasks` ->
   (qacc (B, nv), jar_d (B, n), jar_s (B, ns), *jar_g (B, nrep, P)).
   Zero-size n / ns are legal and skip those operands entirely.
   sublanes: batch-tile sublane count S (samples per program = S * 128);
@@ -575,6 +641,8 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
   ns = s_aref.shape[1]
   has_d = n > 0
   has_s = ns > 0
+  cdofc = gargs[0] if condims else None
+  gargs = gargs[1:] if condims else gargs
   groups = [tuple(gargs[4 * i:4 * i + 4]) for i in range(len(condims))]
   gdims = [(gr[0].shape[1], gr[0].shape[2], gr[1].shape[1])
            for gr in groups]  # (P, ndirs, nrep)
@@ -590,6 +658,8 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
     qs = _lane_pad(qs, pad)
     j, aref, dvec, eqf = (_lane_pad(a, pad) for a in (j, aref, dvec, eqf))
     s_aref, s_dvec = _lane_pad(s_aref, pad), _lane_pad(s_dvec, pad)
+    if cdofc is not None:
+      cdofc = _lane_pad(cdofc, pad)
     groups = [tuple(_lane_pad(a, pad) for a in gr) for gr in groups]
   bp = qs.shape[0]
   g = bp // tile_b
@@ -646,11 +716,15 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
   if has_s:
     operands += [prep(s_aref), prep(s_dvec)]
     in_specs += [spec(ns), spec(ns)]
+  if condims:
+    operands += [prep(cdofc.astype(qm.dtype))]
+    in_specs += [spec(nv, 6)]
   for gr, (p, ndirs, nrep) in zip(groups, gdims):
-    # jd transposed to (ndirs, nv, P) for the same offset-0 slicing rule
+    # G transposed to (ndirs, 6, P) so the kernel's per-direction /
+    # per-component slices are vreg-dim slices (zero sublane offset)
     operands += [prep(jnp.transpose(gr[0], (0, 2, 3, 1))), prep(gr[1]),
                  prep(gr[2]), prep(gr[3].astype(qm.dtype))]
-    in_specs += [spec(ndirs, nv, p), spec(nrep, p), spec(p), spec(3, p)]
+    in_specs += [spec(ndirs, 6, p), spec(nrep, p), spec(p), spec(3, p)]
 
   out_shape = [out_sds(nv)]
   out_specs = [spec(nv)]
@@ -665,7 +739,7 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
     out_specs.append(spec(nrep, p))
 
   kernel = functools.partial(_newton_kernel, nv, n, ns, dof, sign, cap,
-                             tol, sublanes, condims)
+                             tol, sublanes, condims, dmasks)
   outs = pl.pallas_call(
       lambda *refs: kernel(refs),
       out_shape=out_shape,
@@ -877,31 +951,45 @@ def _newton_reference(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j,
 
 
 @functools.lru_cache(maxsize=None)
-def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
+def make_newton(dof, sign, cap, tol, fdof=(), condims=(), dmasks=()):
   """Newton solve specialized to static (dof, sign, cap, tol, fdof,
-  condims).
+  condims, dmasks).
 
   Returns fn(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref,
-  c_d0, c_s, c_mu, f_aref, f_dvec, f_loss, *group_args) ->
+  c_d0, c_s, c_mu, f_aref, f_dvec, f_loss[, cdofc], *group_args) ->
   (qacc, jar_d, jar_s, jar_c, jar_f, *jar_groups), per-sample
   signature; vmap dispatches the fused batch-tiled kernel on TPU,
-  jacfwd/jvp uses the frozen-active-set implicit tangent. Each condim
-  in `condims` appends 4 point-group operands (jd (P, ndirs, nv),
-  aref (nrep, P), dvec (P,), mu (3, P)) and one (nrep, P) jar output;
-  the facet expansion (PYRAMID_FACETS) happens inside the solve.
+  jacfwd/jvp uses the frozen-active-set implicit tangent. When
+  `condims` is non-empty, one shared cdofc (nv, 6) operand follows the
+  16 base operands, then 4 FACTORED point-group operands per condim
+  (g (P, ndirs, 6), aref (nrep, P), dvec (P,), mu (3, P)); `dmasks`
+  carries the matching static ancestor masks as float32 bytes (see
+  materialize_jd). Each group yields one (nrep, P) jar output; the
+  facet expansion (PYRAMID_FACETS) happens inside the solve.
   """
   ngroups = len(condims)
+  goff = 17 if ngroups else 16
 
   def _split(args):
-    gargs = [tuple(args[16 + 4 * i:16 + 4 * i + 4])
+    cdofc = args[16] if ngroups else None
+    gargs = [tuple(args[goff + 4 * i:goff + 4 * i + 4])
              for i in range(ngroups)]
-    return args[:16], gargs
+    return args[:16], cdofc, gargs
+
+  def _jd_groups(cdofc, gargs):
+    """Materialize jd-form groups for the XLA/reference path."""
+    out = []
+    for gi, (g, garef, gdvec, gmu) in enumerate(gargs):
+      dm = _decode_dmask(dmasks[gi], g.shape[-3], cdofc.shape[-2])
+      out.append((materialize_jd(g, cdofc, dm), garef, gdvec, gmu))
+    return tuple(out)
 
   @jax.custom_batching.custom_vmap
   def newton_impl(*args):
-    base, gargs = _split(args)
+    base, cdofc, gargs = _split(args)
     return _newton_reference(*base, dof=dof, sign=sign, cap=cap, tol=tol,
-                             fdof=fdof, condims=condims, groups=gargs)
+                             fdof=fdof, condims=condims,
+                             groups=_jd_groups(cdofc, gargs))
 
   @newton_impl.def_vmap
   def _newton_vmap(axis_size, in_batched, *args):
@@ -910,7 +998,7 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
     args = tuple(
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
         for a, b in zip(args, in_batched))
-    base, _ = _split(args)
+    base, cdofc, gargs = _split(args)
     qs_f = base[1]
     nv = qs_f.shape[-1]
     # the fused kernel handles pyramidal + limit + point-group rows;
@@ -926,15 +1014,16 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
       # newton_batched is itself jitted and its cache keys on the static
       # sublanes value, so passing None could reuse a stale env decision
       gdims = tuple((gr[0].shape[1], gr[0].shape[2], gr[1].shape[1])
-                    for gr in _split(args)[1])
+                    for gr in gargs)
       sub = pick_sublanes(qs_f.shape[0], nv, base[2].shape[-2],
                           base[6].shape[-1], gdims)
       usable = kernel_compile_ok(nv, base[2].shape[-2], base[6].shape[-1],
-                                 gdims, dof, sign, cap, tol, condims, sub)
+                                 gdims, dof, sign, cap, tol, condims, sub,
+                                 dmasks)
     if usable:
       out = newton_batched(*base[:8], *args[16:], dof=dof, sign=sign,
                            cap=cap, tol=tol, condims=condims,
-                           sublanes=sub)
+                           sublanes=sub, dmasks=dmasks)
       out = (out[:3]
              + (jnp.zeros((axis_size, 0, 6), dtype=qs_f.dtype),
                 jnp.zeros((axis_size, 0), dtype=qs_f.dtype))
@@ -943,8 +1032,8 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
       ref = functools.partial(_newton_reference, dof=dof, sign=sign,
                               cap=cap, tol=tol, fdof=fdof,
                               condims=condims)
-      out = jax.vmap(
-          lambda *a: ref(*a[:16], groups=_split(a)[1]))(*args)
+      out = jax.vmap(lambda *a: ref(
+          *a[:16], groups=_jd_groups(*_split(a)[1:])))(*args)
     return out, (True,) * (5 + ngroups)
 
   @jax.custom_jvp
@@ -970,8 +1059,8 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
       return jnp.zeros_like(prim) if isinstance(
           t, jax.custom_derivatives.SymbolicZero) else t
 
-    base, gprimals = _split(primals)
-    dbase_raw, dgroups_raw = _split(tangents)
+    base, cdofc_p, gprimals = _split(primals)
+    dbase_raw, dcdofc_raw, dgroups_raw = _split(tangents)
     qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, c_j, c_aref, c_d0, \
         c_s, c_mu, f_aref, f_dvec, f_loss = base
     outs = newton_impl(*primals)
@@ -981,16 +1070,24 @@ def make_newton(dof, sign, cap, tol, fdof=(), condims=()):
         dc_d0, _, _, df_aref, df_dvec, df_loss = (
             mat(t, p) for t, p in zip(dbase_raw, base))
 
-    # fold the point groups into the dense block: expand primal and
-    # tangent rows (jvp of the bilinear expansion) and append the
-    # converged facet jars
+    # fold the point groups into the dense block: materialize + expand
+    # primal and tangent rows (jvp of the bilinear factored expansion)
+    # and append the converged facet jars
     n_dense = j.shape[-2]
     gsizes = []
+    if ngroups:
+      dcdofc = mat(dcdofc_raw, cdofc_p)
     for gi, cdim in enumerate(condims):
       gp = gprimals[gi]
       gt = tuple(mat(t, p) for t, p in zip(dgroups_raw[gi], gp))
+      dm = _decode_dmask(dmasks[gi], gp[0].shape[-3], cdofc_p.shape[-2])
+
+      def expand_fact(g_, garef_, gdvec_, gmu_, cdofc_, _c=cdim, _dm=dm):
+        return expand_group(materialize_jd(g_, cdofc_, _dm), garef_,
+                            gdvec_, gmu_, _c)
+
       (ej, ea, ed), (dej, dea, ded) = jax.jvp(
-          functools.partial(expand_group, condim=cdim), gp, gt)
+          expand_fact, gp + (cdofc_p,), gt + (dcdofc,))
       gsizes.append((gp[1].shape[0], gp[0].shape[0]))
       j = jnp.concatenate([j, ej])
       dj = jnp.concatenate([dj, dej])

@@ -463,13 +463,19 @@ class ContactBlock(NamedTuple):
 
 
 class PointRows(NamedTuple):
-  """Pyramidal contact rows in point-direction form (the hot-path
-  representation): per contact point, `ndirs` raw direction Jacobians
-  instead of `nrep` pre-expanded facet rows. The facet expansion
-  (PYRAMID_FACETS) is loop-invariant, so the fused Newton kernel builds
-  the facet columns once in VMEM — the XLA-side facet broadcast + concat
-  (and its lane-padded (B, nrep*P, nv) intermediates) never exist."""
-  jd: jax.Array     # (P, ndirs, nv) rows (normal, t1, t2[, rn, rt1, rt2])
+  """Pyramidal contact rows in FACTORED point-direction form (the
+  hot-path representation): jd[p,d,n] = (g[p,d] . cdofc[n]) * dmask[p,n]
+  (see ops/pallas_newton.materialize_jd). Neither the (P, ndirs, nv)
+  direction Jacobians nor the (nrep*P, nv) facet rows are ever
+  materialized on the hot path: the fused Newton kernel builds the facet
+  columns from (g, cdofc, dmask) once in VMEM. dmask (the ancestor-mask
+  difference of the two contact bodies) is a host constant."""
+  g: jax.Array      # (P, ndirs, 6) direction factors (normal, t1,
+                    # t2[, rn, rt1, rt2]): [pos3 x dir, dir] trans,
+                    # [dir, 0] rot
+  cdofc: jax.Array  # (nv, 6) world-origin-anchored dof axes (shared
+                    # across groups; same traced value in each)
+  dmask: np.ndarray  # (P, nv) float32 in {-1, 0, 1}, STATIC
   aref: jax.Array   # (nrep, P) per-facet reference acceleration
   dvec: jax.Array   # (P,) penalty weight, 0 when the contact is inactive
   mu: jax.Array     # (3, P) (sliding, torsional, rolling)
@@ -629,9 +635,31 @@ def _contact_rows(m: Model, d: Data) -> Rows | None:
   return _concat_rows([b.rows for b in contact_blocks(m, d)])
 
 
+def dof_anchored_axes(m: Model, d: Data) -> jax.Array:
+  """cdofc (nv, 6): each dof's motion axis re-anchored at the world
+  origin, [ang, lin - cross(ang, subtree_com[root_of_dof])].
+
+  For any body whose ancestor mask selects dof n, the translational
+  point Jacobian is cdofc_lin[n] + cross(cdofc_ang[n], point) — the
+  per-body subtree-com anchor folds into a per-DOF constant because a
+  masked dof always lives in the same kinematic tree as the body."""
+  root_of_dof = np.asarray(m.body_rootid, dtype=np.int32)[
+      np.asarray(m.dof_bodyid, dtype=np.int32)]
+  ang = d.cdof[:, :3]
+  lin = d.cdof[:, 3:] - jnp.cross(ang, d.subtree_com[root_of_dof])
+  return jnp.concatenate([ang, lin], axis=-1)
+
+
 def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
-  """Pyramidal contacts in point-direction form, one PointRows per
-  condim group (see PointRows; the dense twin is contact_blocks)."""
+  """Pyramidal contacts in factored point-direction form, one PointRows
+  per condim group (see PointRows; the dense twin is contact_blocks).
+
+  Nothing nv-sized is materialized per contact here: direction rows are
+  the rank-6 factors G = [pos3 x dir, dir] against the shared dof axes
+  cdofc, masked by the static ancestor-mask difference of the two
+  bodies. Direction velocities for aref come from the masked projection
+  cw[p] = sum_n cdofc[n] dmask[p,n] qvel[n] (a (P, 6) tensor), so the
+  whole assembly is O(P*6) wide instead of O(P*ndirs*nv)."""
   from mujoco_mpc_tpu.physics import collision, structure
 
   if not m.collision_pairs:
@@ -641,7 +669,7 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
 
   a_body = np.asarray(structure.body_ancestor_dof_mask(
       m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
-  rootid = np.asarray(m.body_rootid, dtype=np.int32)
+  cdofc = dof_anchored_axes(m, d)
 
   out = []
   for condim, g in groups.items():
@@ -668,41 +696,43 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
     dvec = imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12)
     dvec = jnp.where(pos < 0.0, dvec, 0.0)
 
-    def batch_jac(bodies):
-      off = pos3 - d.subtree_com[rootid[bodies]]
-      jp = (d.cdof[None, :, 3:]
-            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
-      mask = jnp.asarray(a_body[bodies], dtype=dtype)[:, :, None]
-      return jp * mask, d.cdof[None, :, :3] * mask   # (P, nv, 3)
+    dmask = (a_body[b2_arr] - a_body[b1_arr]).astype(np.float32)
 
-    jp1, jr1 = batch_jac(b1_arr)
-    jp2, jr2 = batch_jac(b2_arr)
-    jp = jp2 - jp1
     t1, t2 = collision._make_frames(normal, tan_hint)
     if condim == 1:
       dirs_t = normal[:, None, :]                    # (P, 1, 3)
-      jd = jnp.einsum('pns,pds->pdn', jp, dirs_t)
     else:
       dirs_t = jnp.stack([normal, t1, t2], axis=1)   # (P, 3, 3)
-      jd = jnp.einsum('pns,pds->pdn', jp, dirs_t)
-      if condim >= 4:
-        jr = jr2 - jr1
-        dirs_r = (normal[:, None, :] if condim == 4
-                  else jnp.stack([normal, t1, t2], axis=1))
-        jd = jnp.concatenate(
-            [jd, jnp.einsum('pns,pds->pdn', jr, dirs_r)], axis=1)
+    gfac = jnp.concatenate(
+        [jnp.cross(pos3[:, None, :], dirs_t), dirs_t], axis=-1)
+    if condim >= 4:
+      dirs_r = (normal[:, None, :] if condim == 4
+                else jnp.stack([normal, t1, t2], axis=1))
+      gfac = jnp.concatenate(
+          [gfac, jnp.concatenate([dirs_r, jnp.zeros_like(dirs_r)], -1)],
+          axis=1)                                    # (P, ndirs, 6)
 
-    # per-facet aref from direction velocities (never materializes the
-    # facet Jacobians): aref_f = -b (v_n + sign mu v_di) - k imp pos
-    vd = jnp.einsum('pdn,n->pd', jd, d.qvel)         # (P, ndirs)
+    # per-facet aref from direction velocities (never materializes jd):
+    # vd[p,d] = G[p,d] . cw[p], cw[p] = sum_n cdofc[n] dmask[p,n] v[n];
+    # aref_f = -b (v_n + sign mu v_di) - k imp pos
+    cw = jnp.einsum('nj,pn->pj', cdofc * d.qvel[:, None],
+                    jnp.asarray(dmask, dtype=dtype))  # (P, 6)
+    vd = jnp.einsum('pdj,pj->pd', gfac, cw)          # (P, ndirs)
     base = -b * vd[:, 0] - k * imp * pos             # (P,)
     facets = PYRAMID_FACETS[condim]
     aref = jnp.stack(
         [base - b * sgn * mu[:, col] * vd[:, di] if sgn else base
          for (di, col, sgn) in facets])              # (nrep, P)
-    out.append(PointRows(jd=jd, aref=aref, dvec=dvec, mu=mu.T,
-                         condim=condim))
+    out.append(PointRows(g=gfac, cdofc=cdofc, dmask=dmask, aref=aref,
+                         dvec=dvec, mu=mu.T, condim=condim))
   return out
+
+
+def point_rows_jd(pr: PointRows) -> jax.Array:
+  """Materialize the (P, ndirs, nv) direction Jacobians of a factored
+  group (tests / the XLA reference path)."""
+  from mujoco_mpc_tpu.ops import pallas_newton
+  return pallas_newton.materialize_jd(pr.g, pr.cdofc, pr.dmask)
 
 
 def expand_point_rows(pr: PointRows):
@@ -712,8 +742,8 @@ def expand_point_rows(pr: PointRows):
   Returns (j (nrep*P, nv), aref (nrep*P,), dvec (nrep*P,)) in the same
   facet-major order as contact_blocks."""
   from mujoco_mpc_tpu.ops import pallas_newton
-  return pallas_newton.expand_group(pr.jd, pr.aref, pr.dvec, pr.mu,
-                                    pr.condim)
+  return pallas_newton.expand_group(point_rows_jd(pr), pr.aref, pr.dvec,
+                                    pr.mu, pr.condim)
 
 
 class ConeRows(NamedTuple):
@@ -1047,12 +1077,13 @@ def solve(m: Model, d: Data, rows: Rows | None,
     loss_f = aref_f
 
   condims = tuple(int(p.condim) for p in points)
-  group_args = []
+  dmasks = tuple(p.dmask.tobytes() for p in points)
+  group_args = [points[0].cdofc] if points else []
   for p in points:
-    group_args += [p.jd, p.aref, p.dvec, p.mu]
+    group_args += [p.g, p.aref, p.dvec, p.mu]
   newton = pallas_newton.make_newton(dof, sign, int(max_iterations),
                                      float(tolerance), fdof=fdof,
-                                     condims=condims)
+                                     condims=condims, dmasks=dmasks)
   qacc, jar_d, jar_s, jar_c, jar_f, *jar_pts = newton(
       qm, qacc_smooth, j_mat, aref_d, dvec_d, eqf, aref_s, dvec_s, c_j,
       c_aref, c_d0, c_s, c_mu, aref_f, dvec_f, loss_f, *group_args)
@@ -1076,13 +1107,17 @@ def solve(m: Model, d: Data, rows: Rows | None,
         np.asarray(fdof, dtype=np.int32)].add(f_f)
   for p, jar_g in zip(points, jar_pts):
     # facet force f = max(0, -D jar); fold back through the facet table
-    # as per-direction coefficients (the transpose of the expansion)
+    # as per-direction coefficients (the transpose of the expansion),
+    # then through the rank-6 factors: J^T f = sum_p dmask[p] *
+    # (cdofc . gw[p]) with gw[p] = sum_d G[p,d] coef[p,d]
     f_g = jnp.where(jar_g < 0, -p.dvec[None, :] * jar_g, 0.0)  # (nrep, P)
-    coef = jnp.zeros(p.jd.shape[:2], dtype=dtype)              # (P, ndirs)
+    coef = jnp.zeros(p.g.shape[:2], dtype=dtype)               # (P, ndirs)
     for fi, (di, col, sgn) in enumerate(PYRAMID_FACETS[p.condim]):
       coef = coef.at[:, 0].add(f_g[fi])
       if sgn:
         coef = coef.at[:, di].add(sgn * p.mu[col] * f_g[fi])
-    qfrc_constraint = qfrc_constraint + jnp.einsum('pdn,pd->n', p.jd,
-                                                   coef)
+    gw = jnp.einsum('pdj,pd->pj', p.g, coef)                   # (P, 6)
+    qfrc_constraint = qfrc_constraint + jnp.einsum(
+        'pj,nj,pn->n', gw, p.cdofc,
+        jnp.asarray(p.dmask, dtype=dtype))
   return d.replace(qacc=qacc, qfrc_constraint=qfrc_constraint)
