@@ -177,18 +177,21 @@ def optimize_cem_sharded(spec: TaskSpec, state, d0: Data,
     rets = sampling.rollout_candidates(
         spec, d_local, jax.lax.pcast(nominal.times, axes, to='varying'), cands, params,
         horizon_steps, scfg, interp)
-    # replicated elite threshold from the gathered return vector
+    # replicated elite selection from the gathered return vector: the SAME
+    # top_k call as the single-device refit (cross_entropy.optimize), so tie
+    # handling (index order) matches and exactly n_elite members are chosen
+    # — `rets <= thresh` previously admitted every tie with the n_elite-th
+    # return, skewing the psum'd mean vs the single-device path
     all_rets = jax.lax.all_gather(rets, axes).reshape(-1)  # (num_samples,)
-    neg_top, _ = jax.lax.top_k(-all_rets, n_elite)
-    thresh = -neg_top[-1]
-    # masked local elite statistics -> global psum
-    is_elite = rets <= thresh                              # (local,)
-    wsum = jax.lax.psum(jnp.sum(is_elite), axes)
+    neg_top, elite_idx = jax.lax.top_k(-all_rets, n_elite)
+    # local elite membership by global candidate index (contiguous chunks)
+    gidx = idx * local + jnp.arange(local)
+    is_elite = jnp.any(elite_idx[None, :] == gidx[:, None], axis=1)
     mask = is_elite.astype(cands.dtype)[:, None, None]
     local_sum = jnp.sum(cands * mask, axis=0)
-    elite_mean = jax.lax.psum(local_sum, axes) / jnp.maximum(wsum, 1)
+    elite_mean = jax.lax.psum(local_sum, axes) / n_elite
     local_sq = jnp.sum(((cands - elite_mean[None]) ** 2) * mask, axis=0)
-    elite_var = jax.lax.psum(local_sq, axes) / jnp.maximum(wsum - 1, 1)
+    elite_var = jax.lax.psum(local_sq, axes) / max(n_elite - 1, 1)
     best = -neg_top[0]
     avg = jnp.mean(-neg_top)
     return (elite_mean[None], elite_var[None], best[None], avg[None])
