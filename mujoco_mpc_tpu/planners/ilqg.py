@@ -282,7 +282,7 @@ def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
       body, d0, jnp.arange(horizon_steps))
   costs = spec.cost(residuals, params)
   ret = rollout_mod.total_return(costs)
-  return ret, actions, qpos, qvel, act, times
+  return ret, actions, qpos, qvel, act, times, residuals, costs
 
 
 def action_from_policy(spec: TaskSpec, policy: ILQGPolicy, qpos: jax.Array,
@@ -328,13 +328,16 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
   dtype = d0.qpos.dtype
 
   # ----- nominal rollout under the current feedback policy -----
-  prev_ret, actions, qpos, qvel, act, times = _feedback_rollout(
-      spec, d0, state.policy, jnp.zeros((), dtype), params, horizon_steps,
-      index_by_time=True)
-
-  # re-record the nominal open-loop (same trajectory: feedback terms vanish
-  # when replaying the recorded actions from the same initial state)
-  traj = derivatives.nominal_trajectory(spec, d0, actions, params)
+  # the rollout itself records everything Trajectory needs (feedback terms
+  # vanish when replaying the recorded actions from the same initial state),
+  # so no separate re-record pass is run — the reference's equivalent
+  # NominalTrajectory re-roll (planner.cc OptimizePolicy) is folded away
+  prev_ret, actions, qpos, qvel, act, times, residuals, costs = (
+      _feedback_rollout(spec, d0, state.policy, jnp.zeros((), dtype), params,
+                        horizon_steps, index_by_time=True))
+  traj = derivatives.Trajectory(qpos=qpos, qvel=qvel, act=act, time=times,
+                                actions=actions, residuals=residuals,
+                                costs=costs)
 
   # ----- derivatives -----
   derivs = derivatives.compute(spec, d0, traj, params)
@@ -344,22 +347,25 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
     return riccati(derivs, mu, traj.actions, m.actuator_ctrlrange,
                    cfg.regularization_type, cfg.action_limits)
 
+  # happy path = exactly ONE backward pass: carry (k, gain, dv) through the
+  # escalation loop instead of recomputing at the final mu
+  k0, gain0, dv0, ok0 = bp(state.regularization)
+
   def cond(carry):
-    mu, it, ok = carry
+    ok, it = carry[3], carry[4]
     return jnp.logical_and(jnp.logical_not(ok),
                            it < MAX_REGULARIZATION_ITERATIONS)
 
   def escalate(carry):
-    mu, it, _ = carry
+    _k, _g, _dv, _ok, it, mu = carry
     mu_new = jnp.clip(mu * state.regularization_factor,
                       MIN_REGULARIZATION, MAX_REGULARIZATION)
-    _, _, _, ok = bp(mu_new)
-    return (mu_new, it + 1, ok)
+    kn, gn, dvn, okn = bp(mu_new)
+    return (kn, gn, dvn, okn, it + 1, mu_new)
 
-  _, _, _, ok0 = bp(state.regularization)
-  mu, _, bp_ok = jax.lax.while_loop(
-      cond, escalate, (state.regularization, jnp.array(0, jnp.int32), ok0))
-  k, gain, dv, _ = bp(mu)
+  k, gain, dv, bp_ok, _, mu = jax.lax.while_loop(
+      cond, escalate,
+      (k0, gain0, dv0, ok0, jnp.array(0, jnp.int32), state.regularization))
 
   nominal_policy = ILQGPolicy(
       times=traj.time, qpos=traj.qpos, qvel=traj.qvel, act=traj.act,
@@ -376,8 +382,8 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
     return _feedback_rollout(spec, d0, nominal_policy, scale, params,
                              horizon_steps)
 
-  rets, acts_all, qpos_all, qvel_all, act_all, times_all = jax.vmap(one)(
-      steps)
+  rets, acts_all, qpos_all, qvel_all, act_all, times_all, _, _ = jax.vmap(
+      one)(steps)
   winner = jnp.argmin(rets)
 
   new_policy = ILQGPolicy(

@@ -1,6 +1,7 @@
 """iLQS and Robust planner tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,10 @@ from mujoco_mpc_tpu.ops import spline
 from mujoco_mpc_tpu.physics.model import make_data
 from mujoco_mpc_tpu.planners import ilqg, ilqs, robust, sampling
 from mujoco_mpc_tpu.tasks import registry
+
+# end-to-end planning tests: minutes on one CPU; the <5-min core suite is
+# the unit/parity set (pytest -m "not slow")
+pytestmark = pytest.mark.slow
 
 
 def test_ilqs_improves_cartpole():

@@ -2,6 +2,7 @@
 backward_pass_test.cc pattern), boxQP correctness, and swing-up improvement."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,10 @@ from mujoco_mpc_tpu.physics.model import make_data
 from mujoco_mpc_tpu.planners import derivatives, ilqg
 from mujoco_mpc_tpu.tasks import registry
 from tests.test_derivatives import _di_spec
+
+# end-to-end planning tests: minutes on one CPU; the <5-min core suite is
+# the unit/parity set (pytest -m "not slow")
+pytestmark = pytest.mark.slow
 
 DTYPE = jnp.float64
 

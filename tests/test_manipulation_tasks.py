@@ -10,6 +10,10 @@ from mujoco_mpc_tpu.physics import forward as fwd
 from mujoco_mpc_tpu.physics.model import make_data
 from mujoco_mpc_tpu.tasks import registry
 
+# end-to-end planning tests: minutes on one CPU; the <5-min core suite is
+# the unit/parity set (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 MANIP_TASKS = ['FreeFingers', 'Panda', 'Panda Bring']
 
 
