@@ -235,7 +235,7 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
   (vx, vxx, dv0, dv1, ok), (k, gain) = jax.lax.scan(
       step, init,
       (a, b, cx[:-1], cu[:-1], cxx[:-1], cxu[:-1], cuu[:-1], actions[:-1]),
-      reverse=True)
+      reverse=True, unroll=4 if nd <= 20 else 1)
 
   # copy last step (reference planner.cc:493-506)
   k = jnp.concatenate([k, k[-1:]], axis=0)
@@ -278,8 +278,11 @@ def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
     d = fwd.integrate(m, df)
     return d, (u, res, df.qpos, df.qvel, df.act, df.time)
 
+  # partially unroll on small smooth models (same gate as rollout.py:50):
+  # the batch-1 nominal rollout is pure dispatch latency — unrolling lets
+  # XLA fuse elementwise chains across steps
   _, (actions, residuals, qpos, qvel, act, times) = jax.lax.scan(
-      body, d0, jnp.arange(horizon_steps))
+      body, d0, jnp.arange(horizon_steps), unroll=4 if m.nv <= 8 else 1)
   costs = spec.cost(residuals, params)
   ret = rollout_mod.total_return(costs)
   return ret, actions, qpos, qvel, act, times, residuals, costs
