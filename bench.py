@@ -116,6 +116,104 @@ def measure_cpu_baseline(t_steps: int) -> float:
   return plans_per_s
 
 
+def _ref_baseline_ms(task_name: str, num_samples: int, t_steps: int,
+                     extra_steps: int = 0) -> dict:
+  """Reference-side wall time for one plan iteration, measured on this box.
+
+  The reference's C++ `testspeed` binary (mjpc/testspeed.cc:44-129) cannot
+  be built here: its CMake superbuild fetches abseil/gtest/MuJoCo sources
+  from the network and this box has zero egress and no installed abseil.
+  What CAN be measured — and is the dominant cost of a reference plan
+  iteration — is its rollout fan-out (sampling/planner.cc:342-380):
+  num_samples rollouts of t_steps mj_step calls on the IDENTICAL model,
+  executed by the MuJoCo C engine (the reference's physics backend)
+  through the native threaded `rollout` module with one mjData per
+  hardware thread, exactly the reference ThreadPool's per-thread-mjData
+  pattern (threadpool.h:68). `extra_steps` adds the derivative-planner
+  step count (FD Jacobian passes, model_derivatives.cc:76-105) expressed
+  as additional rollouts of the same horizon.
+  """
+  import mujoco
+  from mujoco import rollout as mj_rollout
+  import numpy as np
+  from mujoco_mpc_tpu.tasks import registry as task_registry
+
+  spec = task_registry.get_task(task_name)
+  mjm = spec.mj_model
+  nthread = os.cpu_count() or 1
+  datas = [mujoco.MjData(mjm) for _ in range(nthread)]
+  d0 = mujoco.MjData(mjm)
+  key_names = list(getattr(spec.model, 'keyframe_names', ()) or ())
+  if 'home' in key_names:
+    d0.qpos[:] = np.asarray(spec.model.key_qpos[key_names.index('home')])
+  mujoco.mj_forward(mjm, d0)
+  state0 = np.zeros(mujoco.mj_stateSize(mjm,
+                                        mujoco.mjtState.mjSTATE_FULLPHYSICS))
+  mujoco.mj_getState(mjm, d0, state0, mujoco.mjtState.mjSTATE_FULLPHYSICS)
+  nroll = num_samples + extra_steps
+  rng = np.random.default_rng(0)
+  lo, hi = mjm.actuator_ctrlrange[:, 0], mjm.actuator_ctrlrange[:, 1]
+  limited = mjm.actuator_ctrllimited.astype(bool)
+  lo = np.where(limited, lo, -1.0)
+  hi = np.where(limited, hi, 1.0)
+
+  def _controls(n):
+    u = rng.standard_normal((n, t_steps, mjm.nu))
+    return np.clip(u, lo[None, None], hi[None, None])
+
+  initial_state = np.tile(state0, (min(nroll, 64), 1))
+  mj_rollout.rollout(mjm, datas, initial_state, _controls(len(initial_state)))
+  # chunk to bound memory on big sample counts; time the full fan-out
+  best = float('inf')
+  reps = 2 if nroll * t_steps < 500_000 else 1
+  for _ in range(reps):
+    t0 = time.perf_counter()
+    done = 0
+    while done < nroll:
+      chunk = min(2048, nroll - done)
+      mj_rollout.rollout(mjm, datas, np.tile(state0, (chunk, 1)),
+                         _controls(chunk))
+      done += chunk
+    best = min(best, time.perf_counter() - t0)
+  return {'ms': round(best * 1e3, 1), 'nthread': nthread,
+          'model_sig': [int(mjm.nq), int(mjm.nv), int(mjm.ngeom)],
+          'samples': num_samples, 'steps': t_steps,
+          'extra_steps': extra_steps}
+
+
+def reference_baselines(configs) -> dict:
+  """Measured-on-this-box reference numbers for every BASELINE config,
+  cached in .bench_baseline.json under 'configs' (invalidated when the
+  task model changes shape)."""
+  cache = {}
+  if os.path.exists(BASELINE_CACHE):
+    with open(BASELINE_CACHE) as f:
+      cache = json.load(f)
+  cfgs = cache.setdefault('configs', {})
+  from mujoco_mpc_tpu.tasks import registry as task_registry
+  changed = False
+  for key, (task_name, num_samples, t_steps, extra) in configs.items():
+    sig = None
+    try:
+      mjm = task_registry.get_task(task_name).mj_model
+      sig = [int(mjm.nq), int(mjm.nv), int(mjm.ngeom)]
+    except Exception:
+      pass
+    entry = cfgs.get(key)
+    if entry is None or entry.get('model_sig') != sig \
+       or entry.get('samples') != num_samples:
+      try:
+        cfgs[key] = _ref_baseline_ms(task_name, num_samples, t_steps, extra)
+        changed = True
+      except Exception as e:
+        cfgs[key] = {'error': str(e)[:200]}
+        changed = True
+  if changed:
+    with open(BASELINE_CACHE, 'w') as f:
+      json.dump(cache, f)
+  return cfgs
+
+
 def measure_extra_configs():
   """p50 plan latency for the other BASELINE.md configs (ms)."""
   import time as _time
@@ -221,6 +319,42 @@ def main():
     extra = measure_extra_configs()
   except Exception:
     extra = {}
+
+  # reference-side numbers measured on this box (BASELINE.md): same
+  # model + sample count + horizon through the MuJoCo C engine
+  try:
+    from mujoco_mpc_tpu import agent as agent_mod
+    from mujoco_mpc_tpu.tasks import registry as task_registry
+
+    def _steps(task):
+      return agent_mod.horizon_steps(task_registry.get_task(task))
+
+    def _ilqg_extra(task):
+      m = task_registry.get_task(task).model
+      return 2 * (2 * int(m.nv) + int(m.nu)) + 11
+
+    ref = reference_baselines({
+        'quadruped_ps4096': ('Quadruped Flat', 4096,
+                             _steps('Quadruped Flat'), 0),
+        'humanoid_track_ps512': ('Humanoid Track', 512,
+                                 _steps('Humanoid Track'), 0),
+        'shadow_ps8192': ('Shadow Reorient', 8192,
+                          _steps('Shadow Reorient'), 0),
+        'rubik_ps4096': ('Cube Solving', 4096, _steps('Cube Solving'), 0),
+        'particle_ilqg': ('Particle', 0, _steps('Particle'),
+                          _ilqg_extra('Particle')),
+        'swimmer_ilqg': ('Swimmer', 0, _steps('Swimmer'),
+                         _ilqg_extra('Swimmer')),
+    })
+    for key, entry in ref.items():
+      ms = entry.get('ms')
+      ours = extra.get(key + '_p50_ms')
+      if ms and ours and ours > 0:
+        extra[key + '_ref_cpu_ms'] = ms
+        extra[key + '_vs_ref'] = round(ms / ours, 2)
+  except Exception as e:
+    extra['ref_baseline_error'] = str(e)[:200]
+
   print(json.dumps({
       'metric': 'cartpole_ps8192_plan_iterations_per_s',
       'value': round(plans_per_s, 3),

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBLANES = 8         # full f32 vreg tile is (8, 128)
@@ -46,7 +47,13 @@ MAX_NV = 32          # same small-matrix regime as ops/pallas_linalg.py
 MIN_BATCH = LANES    # below one lane tile the XLA path wins
 _DAMP = 1e-10        # Hessian damping (matches physics/constraint.py)
 _ALPHAS = (0.0, 1.0, 0.5, 0.25, 0.0625)
-_VMEM_BUDGET = 12 * 2 ** 20   # leave ~4 MB headroom of the ~16 MB/core
+# Mosaic's default scoped-vmem limit is 16 MiB — far below the physical
+# ~128 MiB/core on v5e/v4. The quadruped config's lane-layout tile needs
+# ~17.5 MiB (measured: AOT OOM at 17.46M vs 16.00M), so we raise the
+# per-kernel limit and budget tiles against it, keeping headroom for the
+# pipeline's double-buffered operand blocks.
+_VMEM_LIMIT = 100 * 2 ** 20
+_VMEM_BUDGET = 64 * 2 ** 20
 
 
 def _on_tpu() -> bool:
@@ -747,6 +754,9 @@ def newton_batched(qm, qs, j, aref, dvec, eqf, s_aref, s_dvec, *gargs,
       in_specs=in_specs,
       out_specs=out_specs,
       interpret=interpret,
+      compiler_params=None if interpret else pltpu.CompilerParams(
+          dimension_semantics=('parallel',),
+          vmem_limit_bytes=_VMEM_LIMIT),
   )(*operands)
 
   qacc = post(outs[0])

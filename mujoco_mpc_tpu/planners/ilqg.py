@@ -355,7 +355,7 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
   k0, gain0, dv0, ok0 = bp(state.regularization)
 
   def cond(carry):
-    ok, it = carry[3], carry[4]
+    _k, _g, _dv, ok, it, _mu = carry
     return jnp.logical_and(jnp.logical_not(ok),
                            it < MAX_REGULARIZATION_ITERATIONS)
 

@@ -47,7 +47,9 @@ def rollout_actions(spec: TaskSpec, d0: Data, actions: jax.Array,
   # cost there is loop/dispatch overhead, not FLOPs (measured: cartpole
   # 8192x101 plan p50 190.5 -> 180.9 ms; contact-rich quadruped neutral,
   # so large models keep unroll=1 to bound compile size)
-  unroll = 4 if m.nv <= 8 else 1
+  import os
+  env = os.environ.get('MJPC_TPU_UNROLL')
+  unroll = int(env) if env else (4 if m.nv <= 8 else 1)
   _, residuals = jax.lax.scan(body, d0, actions, unroll=unroll)
   costs = spec.cost(residuals, params)
   return residuals, costs

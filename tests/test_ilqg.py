@@ -12,9 +12,8 @@ from mujoco_mpc_tpu.planners import derivatives, ilqg
 from mujoco_mpc_tpu.tasks import registry
 from tests.test_derivatives import _di_spec
 
-# end-to-end planning tests: minutes on one CPU; the <5-min core suite is
-# the unit/parity set (pytest -m "not slow")
-pytestmark = pytest.mark.slow
+# the end-to-end planning tests are marked slow individually (minutes on
+# one CPU); the Riccati/boxQP unit tests stay in the <5-min core suite
 
 DTYPE = jnp.float64
 
