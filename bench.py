@@ -257,18 +257,29 @@ def measure_extra_configs():
         jax.block_until_ready(r)
         lat.append(_time.perf_counter() - t0)
       lat.sort()
-      return round(lat[len(lat) // 2] * 1e3, 1)
+      # steady-state MPC: chained plans (policy_{k+1} = plan(policy_k)),
+      # one sync at the end — the Agent's continuous plan loop. Blocking
+      # p50 additionally carries the ~25 ms tunnel sync floor
+      # (docs/PERF.md round-4 measurement)
+      t0 = _time.perf_counter()
+      p = policy
+      for _ in range(8):
+        p, _ = plan(p, k)
+      jax.block_until_ready(p)
+      steady = (_time.perf_counter() - t0) / 8
+      return round(lat[len(lat) // 2] * 1e3, 1), round(steady * 1e3, 1)
 
     # degrade loudly: retry each config on the XLA solver path before
     # giving up, and never emit a bare -1.0 without the error string
     # (round-2 lesson: silent -1.0 hid a Mosaic compile failure)
+    skey = key.replace('_p50_ms', '_steady_ms')
     try:
-      out[key] = run_once()
+      out[key], out[skey] = run_once()
     except Exception as e_fused:
       os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
       jax.clear_caches()
       try:
-        out[key] = run_once()
+        out[key], out[skey] = run_once()
         out[key + '_note'] = ('fused kernel failed, XLA path used: '
                               + str(e_fused)[:160])
       except Exception as e_xla:
@@ -302,6 +313,13 @@ def measure_extra_configs():
         lat.append(_time.perf_counter() - t0)
       lat.sort()
       out[key] = round(lat[len(lat) // 2] * 1e3, 1)
+      t0 = _time.perf_counter()
+      s = state
+      for _ in range(8):
+        s, _ = opt(s, k)
+      jax.block_until_ready(jax.tree_util.tree_leaves(s)[0])
+      out[key.replace('_p50_ms', '_steady_ms')] = round(
+          (_time.perf_counter() - t0) / 8 * 1e3, 1)
     except Exception as e:
       out[key] = -1.0
       out[key + '_error'] = str(e)[:200]

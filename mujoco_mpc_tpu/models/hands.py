@@ -146,133 +146,3 @@ def hand_xml(model_name: str, n_fingers: int, cube_size: float = 0.03,
   </sensor>
 </mujoco>
 """
-
-
-def _rubik_face(axis_name: str, axis: str, pos: str, euler: str,
-                c: float) -> str:
-  """One rotating face: thin plate on a hinge about the face normal, with
-  4 protruding grip nubs so fingertip friction can turn it."""
-  nub = 0.0045
-  plate = 0.8 * c
-  nubs = []
-  for i, (u, v) in enumerate([(0.55, 0.55), (-0.55, 0.55),
-                              (0.55, -0.55), (-0.55, -0.55)]):
-    nubs.append(
-        f'<geom name="{axis_name}_nub{i}" type="box" '
-        f'size="{nub:.4f} {nub:.4f} {nub:.4f}" '
-        f'pos="{u * plate:.4f} {v * plate:.4f} {0.006 + nub:.4f}" '
-        f'mass="0.002" friction="1.8" contype="8" conaffinity="0"/>')
-  return f"""
-      <body name="face_{axis_name}" pos="{pos}" euler="{euler}">
-        <joint name="face_{axis_name}" type="hinge" axis="0 0 1"
-               damping="0.02" armature="0.0005" limited="false"/>
-        <geom name="{axis_name}_plate" type="box"
-              size="{plate:.4f} {plate:.4f} 0.006" mass="0.01"
-              friction="1.5" contype="8" conaffinity="0"/>
-        {''.join(nubs)}
-      </body>"""
-
-
-def rubik_xml(model_name: str, n_fingers: int = 4,
-              scramble_angles=(0, 0, 0, 0, 0, 0)) -> str:
-  """Hand + segmented cube with 6 independently hinged faces.
-
-  TPU-first redesign of the reference Rubik mechanism
-  (mjpc/tasks/rubik/solve.cc + transition_model.xml): the reference's
-  cubelet model needs a second mjModel stepped on the host to generate
-  face-turn goals; with independent face hinges the goal schedule is pure
-  arithmetic (registry._rubik_face_schedule), and fingertip friction on
-  the face nubs physically turns the faces. `scramble_angles` bakes the
-  scrambled state into the home keyframe."""
-  c = 0.03
-  finger_span = 0.075
-  digits, acts = [], []
-  for i in range(n_fingers):
-    y = (i - (n_fingers - 1) / 2) * (finger_span / max(n_fingers - 1, 1))
-    digits.append(_digit(f'f{i}', f'0.045 {y:.4f} 0.01'))
-    acts.append(_digit_actuators(f'f{i}'))
-  digits.append(_digit('th', '-0.045 0.0 0.012', yaw_deg=180.0))
-  acts.append(_digit_actuators('th'))
-  nu = 3 * (n_fingers + 1)
-  nhand = nu
-
-  faces = [
-      _rubik_face('px', '1 0 0', f'{c} 0 0', '0 90 0', c),
-      _rubik_face('nx', '-1 0 0', f'-{c} 0 0', '0 -90 0', c),
-      _rubik_face('py', '0 1 0', f'0 {c} 0', '-90 0 0', c),
-      _rubik_face('ny', '0 -1 0', f'0 -{c} 0', '90 0 0', c),
-      _rubik_face('pz', '0 0 1', f'0 0 {c}', '0 0 0', c),
-      _rubik_face('nz', '0 0 -1', f'0 0 -{c}', '180 0 0', c),
-  ]
-  ang = ' '.join(f'{a:.5f}' for a in scramble_angles)
-  home_hand = ' '.join(['0.3 0.5 0.4'] * (n_fingers + 1))
-  home_ctrl = home_hand
-
-  return f"""<mujoco model="{model_name}">
-  <option timestep="0.004" gravity="0 0 -9.81" iterations="8"/>
-
-  <custom>
-    <numeric name="agent_planner" data="0"/>
-    <numeric name="agent_horizon" data="0.3"/>
-    <numeric name="agent_timestep" data="0.01"/>
-    <numeric name="sampling_spline_points" data="3"/>
-    <numeric name="sampling_exploration" data="0.25"/>
-    <numeric name="sampling_trajectories" data="128"/>
-    <numeric name="residual_Red goal" data="0 -3.2 3.2"/>
-    <numeric name="residual_Orange goal" data="0 -3.2 3.2"/>
-    <numeric name="residual_Blue goal" data="0 -3.2 3.2"/>
-    <numeric name="residual_Green goal" data="0 -3.2 3.2"/>
-    <numeric name="residual_White goal" data="0 -3.2 3.2"/>
-    <numeric name="residual_Yellow goal" data="0 -3.2 3.2"/>
-  </custom>
-
-  <default>
-    <joint type="hinge" damping="0.08" armature="0.002" limited="true"/>
-    <geom type="capsule" friction="1.2" contype="0" conaffinity="0"/>
-    <position kp="1.5" ctrllimited="true"/>
-  </default>
-
-  <worldbody>
-    <geom name="floor" type="plane" size="1 1 0.1" pos="0 0 -0.25"
-          friction="0.8" contype="1" conaffinity="1"/>
-    <body name="goal" mocap="true" pos="0.3 0 0.1">
-      <geom name="goal_marker" type="box" size="{c} {c} {c}" contype="0"
-            conaffinity="0" mass="0"/>
-    </body>
-
-    <body name="cube" pos="0 0 {c + 0.042:.4f}">
-      <freejoint name="cube_root"/>
-      <geom name="cube_core" type="box"
-            size="{0.8 * c:.4f} {0.8 * c:.4f} {0.8 * c:.4f}" mass="0.05"
-            friction="1.0" contype="2" conaffinity="3"/>
-      <site name="cube_site" pos="0 0 0"/>{''.join(faces)}
-    </body>
-
-    <body name="palm" pos="0 0 0">
-      <geom name="palm_geom" type="box" size="0.05 0.05 0.015" mass="0.4"
-            contype="4" conaffinity="2"/>
-      <site name="palm_site" pos="0 0 0.02"/>{''.join(digits)}
-    </body>
-  </worldbody>
-
-  <actuator>{''.join(acts)}
-  </actuator>
-
-  <sensor>
-    <user name="Cube Position" dim="3" user="2 20.0 0.0 40.0 0.005"/>
-    <user name="Cube Orientation" dim="3" user="0 1.0 0.0 10.0"/>
-    <user name="Cube Velocity" dim="3" user="0 0.3 0.0 1.0"/>
-    <user name="Actuation" dim="{nu}" user="0 0.1 0.0 1.0"/>
-    <user name="Face Goals" dim="6" user="0 10.0 0.0 30.0"/>
-    <user name="Hand Posture" dim="{nhand}" user="0 0.05 0.0 0.5"/>
-    <user name="Progress" dim="1" user="0 1.0 0.0 5.0"/>
-    <framepos name="cube_position" objtype="site" objname="cube_site"/>
-  </sensor>
-
-  <keyframe>
-    <key name="home"
-         qpos="0 0 {c + 0.042:.4f} 1 0 0 0 {ang} {home_hand}"
-         ctrl="{home_ctrl}"/>
-  </keyframe>
-</mujoco>
-"""

@@ -695,6 +695,129 @@ def narrowphase(m: Model, d: Data, g1: int, g2: int) -> List[ContactPoint]:
   return []
 
 
+# ---------------------------------------------------------------------------
+# Batched same-shape narrowphase.
+#
+# A model with many hull geoms of one asset (the interlocked Rubik cube:
+# 26 chamfered-box cubelets -> 310 mesh-mesh + 130 sphere-mesh pairs,
+# models/rubik.py) would otherwise unroll narrowphase() per pair into
+# thousands of tiny HLO ops. Pairs whose hull array shapes match are
+# clustered at trace time and their candidate generation runs as ONE
+# vectorized computation over the pair axis — einsums the MXU tiles well.
+# The reference gets this for free from CPU loops (engine_collision_
+# driver.c); on TPU the batched form IS the design.
+# ---------------------------------------------------------------------------
+
+
+def _hull_sig(m: Model, g: int):
+  v, n, _ = m.geom_mesh[g]
+  return (v.shape[0], n.shape[0])
+
+
+def contact_clusters(m: Model):
+  """Static pair clusters for the batched narrowphase.
+
+  Returns (mm, sm, clustered): mm = list of mesh-mesh pair lists
+  (same hull signatures, condim 1 — eligible for dynamic top-k
+  selection); sm = list of sphere-mesh pair lists (same hull signature
+  and sphere handling, any condim); clustered = set of pairs covered.
+  Small groups stay on the unrolled per-pair path."""
+  import collections as _c
+  import numpy as np
+  mm = _c.defaultdict(list)
+  sm = _c.defaultdict(list)
+  for (g1, g2) in m.collision_pairs:
+    t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+    condim = int(max(m.geom_condim[g1], m.geom_condim[g2]))
+    if m.geom_priority[g1] != m.geom_priority[g2]:
+      gp = g1 if m.geom_priority[g1] > m.geom_priority[g2] else g2
+      condim = int(m.geom_condim[gp])
+    if t1 == int(GeomType.MESH) and t2 == int(GeomType.MESH) \
+       and condim == 1:
+      mm[(_hull_sig(m, g1), _hull_sig(m, g2))].append((g1, g2))
+    elif t1 == int(GeomType.SPHERE) and t2 == int(GeomType.MESH):
+      sm[(_hull_sig(m, g2), condim)].append((g1, g2))
+  mm = [v for v in mm.values() if len(v) >= 8]
+  sm = [v for v in sm.values() if len(v) >= 4]
+  clustered = set(p for cl in mm for p in cl) | set(
+      p for cl in sm for p in cl)
+  return mm, sm, clustered
+
+
+def _hulls_world_batched(m: Model, d: Data, gs):
+  """World hull data for a same-shape geom list: verts (K, V, 3),
+  face normals (K, F, 3), offsets (K, F)."""
+  verts = jnp.stack([m.geom_mesh[g][0] for g in gs])
+  fn = jnp.stack([m.geom_mesh[g][1] for g in gs])
+  fb = jnp.stack([m.geom_mesh[g][2] for g in gs])
+  import numpy as np
+  idx = np.asarray(gs, dtype=np.int32)
+  xp = d.geom_xpos[idx]                              # (K, 3)
+  xm = d.geom_xmat[idx]                              # (K, 3, 3)
+  vw = xp[:, None, :] + jnp.einsum('kvd,ked->kve', verts, xm)
+  nw = jnp.einsum('kfd,ked->kfe', fn, xm)
+  bw = fb - jnp.einsum('kfe,ke->kf', nw, xp)
+  return vw, nw, bw
+
+
+def mesh_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
+  """Vectorized _mesh_mesh over same-shape pairs.
+
+  Returns (dist (P,), pos (P, 3), normal (P, 3), pair_idx (P,) np) with
+  P = len(pairs) * 2k: the k deepest verts-of-1-in-hull-2 and
+  verts-of-2-in-hull-1 candidates per pair, normals oriented g1 -> g2."""
+  import numpy as np
+  vw1, nw1, bw1 = _hulls_world_batched(m, d, [p[0] for p in pairs])
+  vw2, nw2, bw2 = _hulls_world_batched(m, d, [p[1] for p in pairs])
+
+  def one_way(vw, nw, bw, sign):
+    # argmax/gather expressed as one-hot einsums: take_along_axis on
+    # (K, V, 3)/(K, F, 3) lowers to T(4,128)-tiled gathers that
+    # dominated the Shadow profile; one-hot contractions ride the MXU
+    phi = jnp.einsum('kve,kfe->kvf', vw, nw) + bw[:, None, :]
+    depth = jnp.max(phi, axis=2)                     # (K, V)
+    oh_f = (phi >= depth[..., None]).astype(vw.dtype)
+    oh_f = oh_f / jnp.maximum(jnp.sum(oh_f, axis=2, keepdims=True), 1.0)
+    normals = jnp.einsum('kvf,kfe->kve', oh_f, nw)   # (K, V, 3)
+    neg_top, idx = jax.lax.top_k(-depth, k)          # (K, k)
+    dist = -neg_top                                  # (K, k)
+    v_iota = jnp.arange(vw.shape[1], dtype=jnp.int32)
+    oh_v = (idx[..., None] == v_iota[None, None, :]).astype(vw.dtype)
+    vsel = jnp.einsum('kiv,kve->kie', oh_v, vw)      # (K, k, 3)
+    nsel = jnp.einsum('kiv,kve->kie', oh_v, normals)
+    nsel = nsel / jnp.maximum(
+        jnp.linalg.norm(nsel, axis=-1, keepdims=True), 1e-12)
+    pos = vsel - 0.5 * dist[..., None] * nsel
+    return dist.reshape(-1), pos.reshape(-1, 3), \
+        (sign * nsel).reshape(-1, 3)
+
+  d12, p12, n12 = one_way(vw1, nw2, bw2, -1.0)   # hull2->vert flipped
+  d21, p21, n21 = one_way(vw2, nw1, bw1, 1.0)
+  pair_idx = np.tile(np.repeat(np.arange(len(pairs)), k), 2)
+  return (jnp.concatenate([d12, d21]), jnp.concatenate([p12, p21]),
+          jnp.concatenate([n12, n21]), pair_idx)
+
+
+def sphere_mesh_batched(m: Model, d: Data, pairs):
+  """Vectorized _sphere_mesh over same-hull-shape pairs: one point per
+  pair, normal oriented g1(sphere) -> g2(mesh). Returns (dist (K,),
+  pos (K, 3), normal (K, 3))."""
+  import numpy as np
+  g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
+  _, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  c = d.geom_xpos[g1s]                               # (K, 3)
+  r = m.geom_size[g1s, 0]                            # (K,)
+  phi = jnp.einsum('kfe,ke->kf', nw, c) + bw         # (K, F)
+  best = jnp.max(phi, axis=1)
+  oh = (phi >= best[:, None]).astype(c.dtype)
+  oh = oh / jnp.maximum(jnp.sum(oh, axis=1, keepdims=True), 1.0)
+  n = jnp.einsum('kf,kfe->ke', oh, nw)               # (K, 3)
+  n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+  dist = best - r
+  pos = c - n * (r + 0.5 * dist)[:, None]
+  return dist, pos, -n
+
+
 class PairParams(NamedTuple):
   """Combined contact parameters for a pair (mj_contactParam rules)."""
   friction: jax.Array      # (3,) sliding, torsional, rolling friction

@@ -482,17 +482,51 @@ class PointRows(NamedTuple):
   condim: int       # static
 
 
+def _contact_capacity(total: int) -> int:
+  """Static cap on dynamically selected contact rows per condim-1
+  cluster (MJPC_TPU_CONTACT_CAP overrides; read at trace time)."""
+  import os
+  cap = int(os.environ.get('MJPC_TPU_CONTACT_CAP', '256'))
+  return min(cap, total)
+
+
+def _pair_param_arrays(m: Model, pairs, dtype):
+  """Per-pair contact parameters stacked to (K, ...) device constants."""
+  from mujoco_mpc_tpu.physics import collision
+  params = [collision.pair_params(m, g1, g2) for (g1, g2) in pairs]
+  import numpy as np
+  return {
+      'solref': jnp.stack([p.solref for p in params]),
+      'solimp': jnp.stack([p.solimp for p in params]),
+      'mu': jnp.stack([p.friction for p in params]),
+      'invw': jnp.stack([jnp.asarray(p.invweight, dtype=dtype)
+                         for p in params]),
+      'margin': jnp.stack([jnp.asarray(p.includemargin, dtype=dtype)
+                           for p in params]),
+      'b1': np.asarray([m.geom_bodyid[g1] for (g1, _) in pairs],
+                       dtype=np.int32),
+      'b2': np.asarray([m.geom_bodyid[g2] for (_, g2) in pairs],
+                       dtype=np.int32),
+  }
+
+
 def _contact_groups(m: Model, d: Data):
   """Stack narrowphase output per condim (static structure).
 
-  The per-pair narrowphase stays unrolled (each pair's geometry differs)
-  but EVERY downstream quantity — tangent frames, K/B/impedance, point
-  Jacobians — is stacked to (P, ...) first and computed batched: the hot
-  loop is dispatch-bound on TPU, and per-point Jacobian assembly was the
-  largest op-count contributor in contact-rich models."""
+  Per-pair narrowphase output is appended as per-pair (n, ...) arrays
+  and concatenated once — EVERY downstream quantity (tangent frames,
+  K/B/impedance, point Jacobians) is computed batched: the hot loop is
+  dispatch-bound on TPU, and per-point Jacobian assembly was the largest
+  op-count contributor in contact-rich models. Same-shape hull pairs
+  (collision.contact_clusters) skip the unrolled path entirely:
+  sphere-mesh clusters emit statically ordered batched candidates here;
+  condim-1 mesh-mesh clusters go through dynamic top-k selection and are
+  returned separately (second return value) because their body indices
+  are traced (see _dyn_contact_rows)."""
   from mujoco_mpc_tpu.physics import collision
 
   groups = {1: None, 3: None, 4: None, 6: None}
+  dtype = d.qpos.dtype
 
   def _group(c):
     if groups[c] is None:
@@ -501,7 +535,47 @@ def _contact_groups(m: Model, d: Data):
                     'solref', 'solimp', 'mu', 'invw', 'b1', 'b2')}
     return groups[c]
 
+  mm, sm, clustered = collision.contact_clusters(m)
+
+  for cl in sm:
+    pairs = cl
+    condim = collision.pair_params(m, *pairs[0]).condim
+    if condim not in (1, 3, 4, 6):
+      raise NotImplementedError(f'contact condim {condim}')
+    dist, pos, normal = collision.sphere_mesh_batched(m, d, pairs)
+    pp = _pair_param_arrays(m, pairs, dtype)
+    g = _group(condim)
+    g['pos3'].append(pos)
+    g['normal'].append(normal)
+    g['tangent'].append(jnp.zeros_like(normal))
+    g['dist'].append(dist)
+    for key in ('margin', 'solref', 'solimp', 'mu', 'invw', 'b1', 'b2'):
+      g[key].append(pp[key])
+
+  dyn = []
+  for cl in mm:
+    dist, pos, normal, pair_idx = collision.mesh_mesh_batched(m, d, cl)
+    pp = _pair_param_arrays(m, cl, dtype)
+    margin_pt = pp['margin'][pair_idx]
+    cap = _contact_capacity(dist.shape[0])
+    # keep the `cap` deepest candidates: every physically active contact
+    # survives as long as <= cap are active at once; the rest are
+    # inactive (dist > margin) rows the solver would zero anyway
+    _, sel = jax.lax.top_k(-(dist - margin_pt), cap)
+    pidx = jnp.asarray(pair_idx, dtype=jnp.int32)[sel]
+    dyn.append({
+        'condim': 1,
+        'pos3': pos[sel], 'normal': normal[sel], 'dist': dist[sel],
+        'margin': pp['margin'][pidx], 'solref': pp['solref'][pidx],
+        'solimp': pp['solimp'][pidx], 'mu': pp['mu'][pidx],
+        'invw': pp['invw'][pidx],
+        'b1': jnp.asarray(pp['b1'], dtype=jnp.int32)[pidx],
+        'b2': jnp.asarray(pp['b2'], dtype=jnp.int32)[pidx],
+    })
+
   for (g1, g2) in m.collision_pairs:
+    if (g1, g2) in clustered:
+      continue
     params = collision.pair_params(m, g1, g2)
     points = collision.narrowphase(m, d, g1, g2)
     if not points:
@@ -511,21 +585,38 @@ def _contact_groups(m: Model, d: Data):
     if condim not in (1, 3, 4, 6):
       raise NotImplementedError(f'contact condim {condim}')
     g = _group(condim)
-    for cp in points:
-      g['pos3'].append(cp.pos)
-      g['normal'].append(cp.normal)
-      g['tangent'].append(
-          jnp.zeros(3, dtype=cp.normal.dtype) if cp.tangent is None
-          else cp.tangent)
-      g['dist'].append(cp.dist)
-      g['margin'].append(params.includemargin)
-      g['solref'].append(params.solref)
-      g['solimp'].append(params.solimp)
-      g['mu'].append(params.friction)
-      g['invw'].append(params.invweight)
-      g['b1'].append(b1)
-      g['b2'].append(b2)
-  return groups
+    n = len(points)
+    g['pos3'].append(jnp.stack([cp.pos for cp in points]))
+    g['normal'].append(jnp.stack([cp.normal for cp in points]))
+    g['tangent'].append(jnp.stack([
+        jnp.zeros(3, dtype=cp.normal.dtype) if cp.tangent is None
+        else cp.tangent for cp in points]))
+    g['dist'].append(jnp.stack([cp.dist for cp in points]))
+    g['margin'].append(jnp.broadcast_to(params.includemargin, (n,)))
+    g['solref'].append(jnp.broadcast_to(params.solref[None], (n, 2)))
+    g['solimp'].append(jnp.broadcast_to(params.solimp[None], (n, 5)))
+    g['mu'].append(jnp.broadcast_to(params.friction[None], (n, 3)))
+    g['invw'].append(jnp.broadcast_to(params.invweight, (n,)))
+    g['b1'].append(np.full(n, b1, dtype=np.int32))
+    g['b2'].append(np.full(n, b2, dtype=np.int32))
+  return groups, dyn
+
+
+class _Stacked:
+  """Concatenated view of one condim group's accumulated arrays."""
+
+  def __init__(self, g):
+    self.pos3 = jnp.concatenate(g['pos3'])            # (P, 3)
+    self.normal = jnp.concatenate(g['normal'])
+    self.tangent = jnp.concatenate(g['tangent'])
+    self.dist = jnp.concatenate(g['dist'])
+    self.margin = jnp.concatenate(g['margin'])
+    self.solref = jnp.concatenate(g['solref'])
+    self.solimp = jnp.concatenate(g['solimp'])
+    self.mu = jnp.concatenate(g['mu'])
+    self.invw = jnp.concatenate(g['invw'])
+    self.b1 = np.concatenate(g['b1'])
+    self.b2 = np.concatenate(g['b2'])
 
 
 def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
@@ -551,7 +642,7 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
   if not m.collision_pairs:
     return []
   dtype = d.qpos.dtype
-  groups = _contact_groups(m, d)
+  groups, _ = _contact_groups(m, d)
 
   a_body = np.asarray(structure.body_ancestor_dof_mask(
       m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
@@ -561,17 +652,11 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
   for condim, g in groups.items():
     if g is None or condim not in condims:
       continue
-    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
-    normal = jnp.stack(g['normal'])
-    tan_hint = jnp.stack(g['tangent'])               # (P, 3)
-    dist = jnp.stack(g['dist'])                      # (P,)
-    margin = jnp.stack(g['margin'])
-    solref = jnp.stack(g['solref'])                  # (P, 2)
-    solimp = jnp.stack(g['solimp'])                  # (P, 5)
-    mu = jnp.stack(g['mu'])                          # (P, 3)
-    invw = jnp.stack(g['invw'])
-    b1_arr = np.asarray(g['b1'], dtype=np.int32)
-    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+    s = _Stacked(g)
+    pos3, normal, tan_hint = s.pos3, s.normal, s.tangent
+    dist, margin = s.dist, s.margin
+    solref, solimp, mu, invw = s.solref, s.solimp, s.mu, s.invw
+    b1_arr, b2_arr = s.b1, s.b2
 
     pos = dist - margin
     k, b, imp = kbi(solref, solimp, pos)             # (P,) each
@@ -632,7 +717,51 @@ def contact_blocks(m: Model, d: Data, condims=(1, 3, 4, 6)):
 
 def _contact_rows(m: Model, d: Data) -> Rows | None:
   """Contact rows as one dense block (see contact_blocks)."""
-  return _concat_rows([b.rows for b in contact_blocks(m, d)])
+  return _concat_rows([b.rows for b in contact_blocks(m, d)]
+                      + [_dyn_contact_rows(m, d)])
+
+
+def _dyn_contact_rows(m: Model, d: Data) -> Rows | None:
+  """Dense normal rows for dynamically selected cluster contacts.
+
+  Same-hull condim-1 pair clusters (collision.contact_clusters — the
+  interlocked cube's 310 cubelet pairs) produce up to 4 candidates per
+  pair; only the `contact capacity` deepest per sample survive
+  (_contact_groups top-k), so body indices are traced and the ancestor
+  dof masks are gathered instead of baked (contrast contact_blocks'
+  static b1/b2). Row count is static = the cap, independent of the
+  pair count."""
+  from mujoco_mpc_tpu.physics import structure
+  if not m.collision_pairs:
+    return None
+  _, dyn = _contact_groups(m, d)
+  if not dyn:
+    return None
+  dtype = d.qpos.dtype
+  a_body = jnp.asarray(np.asarray(structure.body_ancestor_dof_mask(
+      m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv)), dtype=dtype)
+  rootid = jnp.asarray(np.asarray(m.body_rootid, dtype=np.int32))
+  parts = []
+  for g in dyn:
+    pos3, normal = g['pos3'], g['normal']
+    pos = g['dist'] - g['margin']
+    k, b, imp = kbi(g['solref'], g['solimp'], pos)
+
+    def jac(bodies, pos3=pos3):
+      off = pos3 - d.subtree_com[rootid[bodies]]     # (P, 3)
+      jp = (d.cdof[None, :, 3:]
+            + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+      return jp * a_body[bodies][:, :, None]         # (P, nv, 3)
+
+    jp = jac(g['b2']) - jac(g['b1'])
+    jn = jnp.einsum('pns,ps->pn', jp, normal)        # (P, nv)
+    vel = jn @ d.qvel
+    parts.append(Rows(
+        jn, pos, g['margin'],
+        -b * vel - k * imp * pos,
+        imp / (1.0 - imp) / jnp.maximum(g['invw'], 1e-12),
+        pos < 0.0, jnp.zeros_like(pos, dtype=bool)))
+  return _concat_rows(parts)
 
 
 def dof_anchored_axes(m: Model, d: Data) -> jax.Array:
@@ -665,7 +794,7 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
   if not m.collision_pairs:
     return []
   dtype = d.qpos.dtype
-  groups = _contact_groups(m, d)
+  groups, _ = _contact_groups(m, d)
 
   a_body = np.asarray(structure.body_ancestor_dof_mask(
       m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
@@ -675,17 +804,11 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
   for condim, g in groups.items():
     if g is None:
       continue
-    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
-    normal = jnp.stack(g['normal'])
-    tan_hint = jnp.stack(g['tangent'])
-    dist = jnp.stack(g['dist'])
-    margin = jnp.stack(g['margin'])
-    solref = jnp.stack(g['solref'])
-    solimp = jnp.stack(g['solimp'])
-    mu = jnp.stack(g['mu'])                          # (P, 3)
-    invw = jnp.stack(g['invw'])
-    b1_arr = np.asarray(g['b1'], dtype=np.int32)
-    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+    s = _Stacked(g)
+    pos3, normal, tan_hint = s.pos3, s.normal, s.tangent
+    dist, margin = s.dist, s.margin
+    solref, solimp, mu, invw = s.solref, s.solimp, s.mu, s.invw
+    b1_arr, b2_arr = s.b1, s.b2
 
     pos = dist - margin
     k, b, imp = kbi(solref, solimp, pos)             # (P,)
@@ -788,7 +911,7 @@ def cone_contact_blocks(m: Model, d: Data) -> ConeBlock | None:
   if not m.collision_pairs:
     return None
   dtype = d.qpos.dtype
-  groups = _contact_groups(m, d)
+  groups, _ = _contact_groups(m, d)
 
   a_body = np.asarray(structure.body_ancestor_dof_mask(
       m.body_parentid, m.body_dofadr, m.body_dofnum, m.nv))
@@ -799,17 +922,11 @@ def cone_contact_blocks(m: Model, d: Data) -> ConeBlock | None:
     g = groups.get(condim)
     if g is None:
       continue
-    pos3 = jnp.stack(g['pos3'])                      # (P, 3)
-    normal = jnp.stack(g['normal'])
-    tan_hint = jnp.stack(g['tangent'])               # (P, 3)
-    dist = jnp.stack(g['dist'])
-    margin = jnp.stack(g['margin'])
-    solref = jnp.stack(g['solref'])
-    solimp = jnp.stack(g['solimp'])
-    mu = jnp.stack(g['mu'])                          # (P, 3)
-    invw = jnp.stack(g['invw'])
-    b1_arr = np.asarray(g['b1'], dtype=np.int32)
-    b2_arr = np.asarray(g['b2'], dtype=np.int32)
+    s = _Stacked(g)
+    pos3, normal, tan_hint = s.pos3, s.normal, s.tangent
+    dist, margin = s.dist, s.margin
+    solref, solimp, mu, invw = s.solref, s.solimp, s.mu, s.invw
+    b1_arr, b2_arr = s.b1, s.b2
     p = pos3.shape[0]
 
     pos = dist - margin
@@ -986,6 +1103,7 @@ def make_rows_split(m: Model, d: Data):
   <option cone="elliptic"/> the condim>1 contacts move to grouped cone
   rows (condim-1 contacts stay one-sided dense rows)."""
   points: list[PointRows] = []
+  dyn_contact = _dyn_contact_rows(m, d)
   if m.opt.cone == 1:
     contact = _concat_rows(
         [b.rows for b in contact_blocks(m, d, condims=(1,))]) \
@@ -997,7 +1115,7 @@ def make_rows_split(m: Model, d: Data):
     points = contact_point_groups(m, d)
     cone = None
   dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
-                        contact])
+                        contact, dyn_contact])
   return dense, _limit_rows_scalar(m, d), cone, _friction_rows(m, d), \
       points
 

@@ -383,3 +383,68 @@ def get_reference_task(task: str, dtype=jnp.float64) -> base.TaskSpec:
   spec = registry_mod._build(name, None, residual_fn, dtype=dtype,
                              xml_path=xml_path)
   return spec
+
+
+# ---------------------------------------------------------------------------
+# CMU mocap clips (reference: mjpc/tasks/humanoid/tracking/keyframes/*.xml,
+# baked into the tracking task model as keyframes at 30 fps;
+# tracking.cc:42-56 hardcodes the per-clip lengths)
+# ---------------------------------------------------------------------------
+
+# (file stem, frames) in the reference's motion-id order
+# (tracking.cc kMotionLengths + task.xml keyframe include order)
+CMU_CLIPS = (
+    ('CMU-CMU-02-02_04', 121),    # jump
+    ('CMU-CMU-87-87_01', 154),    # kick spin
+    ('CMU-CMU-88-88_06', 115),    # spin kick
+    ('CMU-CMU-88-88_07', 78),     # cartwheel (1)
+    ('CMU-CMU-88-88_08', 145),    # crouch flip
+    ('CMU-CMU-88-88_09', 188),    # cartwheel (2)
+    ('CMU-CMU-90-90_19', 260),    # monkey flip
+    ('CMU-CMU-103-103_08', 279),  # dance
+    ('CMU-CMU-108-108_13', 39),   # run
+    ('CMU-CMU-137-137_40', 510),  # walk
+)
+
+# marker order = the mocap body declaration order in the reference
+# tracking task.xml (== tracking.cc body_names)
+CMU_MARKERS = ('pelvis', 'head', 'ltoe', 'rtoe', 'lheel', 'rheel',
+               'lknee', 'rknee', 'lhand', 'rhand', 'lelbow', 'relbow',
+               'lshoulder', 'rshoulder', 'lhip', 'rhip')
+
+CMU_FPS = 30.0
+
+
+def cmu_clips_available() -> bool:
+  return os.path.isdir(os.path.join(
+      REFERENCE_ROOT, 'mjpc', 'tasks', 'humanoid', 'tracking', 'keyframes'))
+
+
+def load_cmu_clips():
+  """Parse the in-checkout CMU keyframe XMLs.
+
+  Returns (mpos (N, 16, 3) float32, starts (10,) int, lengths (10,) int)
+  with N = sum of clip lengths, frames concatenated in motion-id order —
+  the same flat key_mpos layout the reference indexes with
+  MotionStartIndex/MotionLength (tracking.cc:57-66)."""
+  import numpy as np
+  import xml.etree.ElementTree as ET
+
+  kf_dir = os.path.join(REFERENCE_ROOT, 'mjpc', 'tasks', 'humanoid',
+                        'tracking', 'keyframes')
+  frames = []
+  starts, lengths = [], []
+  for stem, expect in CMU_CLIPS:
+    path = os.path.join(kf_dir, stem + '_poses.xml')
+    root = ET.parse(path).getroot()
+    keys = root.findall('.//key')
+    starts.append(len(frames))
+    for k in keys:
+      vals = np.fromstring(k.get('mpos'), sep=' ', dtype=np.float64)
+      frames.append(vals.reshape(len(CMU_MARKERS), 3))
+    lengths.append(len(keys))
+    if expect != len(keys):
+      raise ValueError(f'{stem}: {len(keys)} frames, expected {expect}')
+  return (np.asarray(frames, dtype=np.float32),
+          np.asarray(starts, dtype=np.int32),
+          np.asarray(lengths, dtype=np.int32))

@@ -1000,49 +1000,41 @@ def _allegro() -> base.TaskSpec:
   return _hand_task('Allegro Cube', n_fingers=3)
 
 
-def _rubik_face_schedule(n_moves: int = 5, seed: int = 11):
-  """Host-side face-turn goal generation (reference: solve.cc:140-199
-  drives a second transition mjModel through random 90-degree face turns
-  and caches the face-angle snapshots). With independent face hinges the
-  schedule is pure arithmetic: goal_cache[k] = face angles after k moves,
-  unscrambled by walking the cache backwards.
-
-  Returns (goal_cache (n_moves+1, 6), scrambled (6,))."""
-  rng = np.random.RandomState(seed)
-  angles = np.zeros(6)
-  cache = [angles.copy()]
-  for _ in range(n_moves):
-    face = rng.randint(6)
-    direction = rng.choice([-1.0, 1.0])
-    angles[face] += direction * np.pi / 2
-    cache.append(angles.copy())
-  return np.stack(cache), angles
-
-
 @register('Cube Solving')
 def _cube_solving() -> base.TaskSpec:
-  """Rubik face-turn solving (reference: mjpc/tasks/rubik/solve.cc): a
-  segmented cube with 6 hinged faces is unscrambled move-by-move through
-  the reference's goal-cache state machine; fingertip friction on the
-  face nubs does the turning. See models/hands.rubik_xml for the
-  TPU-first mechanism redesign rationale."""
-  from mujoco_mpc_tpu.models import hands
+  """Rubik solving on an INTERLOCKED 3x3x3 (reference:
+  mjpc/tasks/rubik/solve.cc + cube_3x3x3.xml.patch): 26 cubelets — 6
+  hinged centers + 20 ball-jointed edge/corner cubelets coupled through
+  frictionless chamfered-hull contact — unscrambled move-by-move through
+  the reference's goal-cache state machine. Scrambles are the exact
+  group action (models/rubik.apply_move) instead of the reference's
+  host-stepped transition model."""
+  from mujoco_mpc_tpu.models import rubik as rubik_mod
 
   n_moves = 5
-  cache_np, scrambled = _rubik_face_schedule(n_moves)
-  xml = hands.rubik_xml('Cube Solving', n_fingers=4,
-                        scramble_angles=scrambled)
+  states_np, cache_np, _moves = rubik_mod.scramble_states(n_moves, seed=11)
+  xml = rubik_mod.rubik3x3_xml('Cube Solving', n_fingers=4,
+                               cube_qpos=states_np[-1])
   spec_model, _ = load_model(xml_string=xml)
   cube = spec_model.body('cube')
   cube_site = spec_model.site('cube_site')
   palm_site = spec_model.site('palm_site')
   goal_mocap = spec_model.body_mocapid[spec_model.body('goal')]
   cache = jnp.asarray(cache_np, dtype=jnp.float32)   # (n_moves+1, 6)
+  states = jnp.asarray(states_np, dtype=jnp.float32)  # (n_moves+1, 93)
+  slot_tab = jnp.asarray(rubik_mod.ring_slot_table(states_np),
+                         dtype=jnp.float32)           # (n_moves+1, 20, 3)
+  slots0 = jnp.asarray(rubik_mod.ring_slots(), dtype=jnp.float32)
   nhand = spec_model.nu
   face_qadr = 7                     # cube free joint (7) then 6 face dofs
-  hand_qadr = 13
+  hand_qadr = 93                    # free 7 + hinges 6 + 20 ring quats 80
   idx = {}
   home_qpos = None
+
+  def _ring_slots_now(qring):
+    """(80,) ring ball quats -> (20, 3) rounded slot occupancy."""
+    qq = qring.reshape(20, 4)
+    return jnp.round(jax.vmap(tm.quat_rot)(qq, slots0))
 
   def residual(m, d, rp):
     dtype = d.qpos.dtype
@@ -1064,8 +1056,14 @@ def _cube_solving() -> base.TaskSpec:
 
   def transition(m, d, params, key):
     """Unscramble state machine (solve.cc:209-230): face goals come from
-    the cache at _goal_index; within tolerance -> decrement; at 0 ->
-    Wait. Drop -> reset the cube into the hand, keep the schedule."""
+    the cache at _goal_index; a move counts as achieved when the hinge
+    is within the cam backlash of the goal AND every ring cubelet sits
+    in the goal state's slot (real layer transport, not a ratcheted
+    center). Achieving a goal snaps the cube's internal coordinates onto
+    the exact group state — the detent a real cube's springs provide,
+    realized as the same host-side qpos surgery the reference transition
+    performs (solve.cc:167-189). At 0 -> Wait. Drop -> reset the cube
+    into the hand, keep the schedule."""
     rp = params.residual_params
     dtype = rp.dtype
     gi = jnp.clip(jnp.round(rp[idx['_goal_index']]).astype(jnp.int32),
@@ -1074,7 +1072,10 @@ def _cube_solving() -> base.TaskSpec:
     faces = d.qpos[face_qadr:face_qadr + 6]
     goal = cache[gi].astype(dtype)
     err = jnp.linalg.norm(faces - goal)
-    achieved = jnp.logical_and(mode > 0.5, err < 0.15)
+    slots_ok = jnp.all(jnp.abs(
+        _ring_slots_now(d.qpos[13:93]) - slot_tab[gi]) < 0.5)
+    achieved = jnp.logical_and(mode > 0.5,
+                               jnp.logical_and(err < 0.4, slots_ok))
     solved = jnp.logical_and(achieved, gi == 0)
     gi_new = jnp.where(jnp.logical_and(achieved, gi > 0), gi - 1, gi)
     mode_new = jnp.where(solved, 0.0, mode)
@@ -1084,12 +1085,20 @@ def _cube_solving() -> base.TaskSpec:
     rp = jax.lax.dynamic_update_slice(
         rp, cache[gi_new].astype(dtype), (0,))
 
+    # detent snap of the cube-internal coordinates (free pose + hand
+    # untouched); zero the snapped dofs' velocities
+    snap_qpos = jnp.concatenate([
+        d.qpos[:7], states[gi][7:].astype(d.qpos.dtype), d.qpos[93:]])
+    qpos = jnp.where(achieved, snap_qpos, d.qpos)
+    cube_vel_mask = jnp.zeros_like(d.qvel).at[6:72].set(1.0)
+    qvel = jnp.where(achieved, d.qvel * (1.0 - cube_vel_mask), d.qvel)
+
     dropped = d.site_xpos[cube_site][2] < -0.12
     reset_pose = jnp.concatenate([
         jnp.asarray([0., 0., 0.072, 1., 0., 0., 0.], dtype=d.qpos.dtype),
-        d.qpos[7:]])
-    qpos = jnp.where(dropped, reset_pose, d.qpos)
-    qvel = jnp.where(dropped, jnp.zeros_like(d.qvel), d.qvel)
+        qpos[7:]])
+    qpos = jnp.where(dropped, reset_pose, qpos)
+    qvel = jnp.where(dropped, jnp.zeros_like(d.qvel), qvel)
     return (d.replace(qpos=qpos, qvel=qvel),
             params.replace(residual_params=rp))
 
@@ -1317,16 +1326,31 @@ def _track_clip_qpos() -> np.ndarray:
   return qs
 
 
-@register('Humanoid Track')
-def _humanoid_track() -> base.TaskSpec:
-  """Mocap tracking (reference: mjpc/tasks/humanoid/tracking/tracking.cc):
-  per-body marker trajectories baked at 30 fps, linear inter-frame
-  interpolation, centered per-marker position residuals plus finite-
-  difference marker-velocity residuals, and a reference-time transition
-  (tracking.cc:101-110, 263-296)."""
-  import mujoco
+# reference marker name -> (our body, local site offset): the 16 CMU
+# mocap markers (tracking.cc body_names) placed on the equivalent points
+# of our original humanoid (models/humanoid.xml)
+_CMU_SITE_MAP = (
+    ('pelvis', 'pelvis', '0 0 0'),
+    ('head', 'torso', '0 0 0.33'),
+    ('ltoe', 'left_foot', '0.135 0 -0.02'),
+    ('rtoe', 'right_foot', '0.135 0 -0.02'),
+    ('lheel', 'left_foot', '-0.045 0 -0.02'),
+    ('rheel', 'right_foot', '-0.045 0 -0.02'),
+    ('lknee', 'left_shin', '0 0 0'),
+    ('rknee', 'right_shin', '0 0 0'),
+    ('lhand', 'left_lower_arm', '0 0 -0.24'),
+    ('rhand', 'right_lower_arm', '0 0 -0.24'),
+    ('lelbow', 'left_lower_arm', '0 0 0'),
+    ('relbow', 'right_lower_arm', '0 0 0'),
+    ('lshoulder', 'left_upper_arm', '0 0 0'),
+    ('rshoulder', 'right_upper_arm', '0 0 0'),
+    ('lhip', 'left_thigh', '0 0 0'),
+    ('rhip', 'right_thigh', '0 0 0'),
+)
 
-  nmark = len(_TRACK_MARKERS)
+
+def _track_xml(nmark: int) -> str:
+  """Humanoid model with marker sites + the tracking cost terms."""
   with open(os.path.join(_MODELS_DIR, 'humanoid.xml')) as f:
     xml = f.read()
   sensors = f"""  <sensor>
@@ -1342,50 +1366,106 @@ def _humanoid_track() -> base.TaskSpec:
   xml = xml[:start] + sensors + xml[end:]
   xml = xml.replace('<mujoco model="Humanoid">',
                     '<mujoco model="Humanoid Track">')
+  # inject the marker sites right after each body's opening tag
+  for marker, body, off in _CMU_SITE_MAP:
+    open_tag = f'<body name="{body}"'
+    i = xml.index(open_tag)
+    j = xml.index('>', i) + 1
+    xml = (xml[:j] + f'<site name="marker[{marker}]" pos="{off}"/>'
+           + xml[j:])
+  return xml
 
+
+@register('Humanoid Track')
+def _humanoid_track() -> base.TaskSpec:
+  """Mocap tracking on the reference's real CMU clips (reference:
+  mjpc/tasks/humanoid/tracking/tracking.cc): the 10 CMU motions shipped
+  in the reference checkout (task.xml keyframe includes) are parsed as
+  16-marker position streams at 30 fps (tasks/reference.load_cmu_clips),
+  with linear inter-frame interpolation, the centered per-marker
+  position residual (tracking.cc:152-187), finite-difference marker
+  velocity residuals (tracking.cc:189-210), and a reference-time
+  transition (tracking.cc:263-296). Motion id selected by the `_clip`
+  parameter (the reference's mode). Falls back to a procedural gait
+  clip when the reference checkout is absent."""
+  from mujoco_mpc_tpu.tasks import reference as ref_mod
+
+  use_cmu = ref_mod.cmu_clips_available()
+  if use_cmu:
+    mpos, starts_np, lengths_np = ref_mod.load_cmu_clips()
+    nmark = len(ref_mod.CMU_MARKERS)
+    marker_names = [f'marker[{n}]' for n in ref_mod.CMU_MARKERS]
+    default_clip = 9.0                       # walk (CMU-137-137_40)
+  else:
+    nmark = len(_TRACK_MARKERS)
+    marker_names = None
+    default_clip = 0.0
+
+  xml = _track_xml(nmark)
   spec_model, mjm_probe = load_model(xml_string=xml)
-  torso = spec_model.body('torso')
-  marker_bodies = [spec_model.body(b) for b in _TRACK_MARKERS]
-  nclip = int(_TRACK_FPS * _TRACK_SECONDS)
 
-  # bake per-body marker trajectories with host-side kinematics (the
-  # reference bakes key_mpos into its task model the same way)
-  clip_q = _track_clip_qpos()
-  mjd_probe = mujoco.MjData(mjm_probe)
-  markers = np.zeros((nclip, nmark, 3))
-  for i in range(nclip):
-    mjd_probe.qpos[:] = clip_q[i]
-    mujoco.mj_kinematics(mjm_probe, mjd_probe)
-    for k, b in enumerate(marker_bodies):
-      markers[i, k] = mjd_probe.xpos[b]
-  markers_j = jnp.asarray(markers, dtype=jnp.float32)
+  if use_cmu:
+    marker_sites = np.asarray([spec_model.site(n) for n in marker_names],
+                              dtype=np.int32)
+    markers_np = mpos                         # (N, 16, 3) real CMU data
+    starts = jnp.asarray(starts_np)
+    lengths = jnp.asarray(lengths_np)
+  else:
+    # procedural fallback: bake marker tracks from the sine-gait clip
+    import mujoco
+    marker_bodies = [spec_model.body(b) for b in _TRACK_MARKERS]
+    nclip = int(_TRACK_FPS * _TRACK_SECONDS)
+    clip_q = _track_clip_qpos()
+    mjd_probe = mujoco.MjData(mjm_probe)
+    markers_np = np.zeros((nclip, nmark, 3))
+    for i in range(nclip):
+      mjd_probe.qpos[:] = clip_q[i]
+      mujoco.mj_kinematics(mjm_probe, mjd_probe)
+      for k, b in enumerate(marker_bodies):
+        markers_np[i, k] = mjd_probe.xpos[b]
+    marker_sites = None
+    starts = jnp.asarray([0], dtype=jnp.int32)
+    lengths = jnp.asarray([nclip], dtype=jnp.int32)
 
+  markers_j = jnp.asarray(markers_np, dtype=jnp.float32)
   idx = {}
 
-  def _frames(t):
-    ft = jnp.clip(t * _TRACK_FPS, 0.0, nclip - 1.001)
+  def _frames(t, clip):
+    """Reference ComputeInterpolationValues (tracking.cc:28-39) with the
+    per-motion start/length window (tracking.cc:57-66)."""
+    start = starts[clip]
+    last = start + lengths[clip] - 1
+    ft = jnp.clip(t * _TRACK_FPS + start, start, last)
     i0 = jnp.floor(ft).astype(jnp.int32)
-    a = ft - i0
-    return i0, jnp.minimum(i0 + 1, nclip - 1), a
+    return i0, jnp.minimum(i0 + 1, last), ft - i0
 
   def residual(m, d, rp):
     dtype = d.qpos.dtype
+    clip = jnp.clip(jnp.round(rp[idx['_clip']]).astype(jnp.int32),
+                    0, starts.shape[0] - 1)
     t = d.time - rp[idx['_ref_time']]
-    i0, i1, a = _frames(t)
+    i0, i1, a = _frames(t, clip)
     m0 = markers_j[i0].astype(dtype)            # (nmark, 3)
     m1 = markers_j[i1].astype(dtype)
     target = (1.0 - a) * m0 + a * m1
 
-    cur = d.xpos[jnp.asarray(marker_bodies)]    # (nmark, 3)
+    if marker_sites is not None:
+      cur = d.site_xpos[jnp.asarray(marker_sites)]
+      cur_v = jnp.stack([support.site_linvel(m, d, int(s))
+                         for s in marker_sites])
+    else:
+      mb = [spec_model.body(b) for b in _TRACK_MARKERS]
+      cur = d.xpos[jnp.asarray(mb)]
+      cur_v = jnp.stack([support.point_velocity(m, d, b, d.xpos[b])
+                         for b in mb])
     avg_t = target.mean(axis=0)
     avg_c = cur.mean(axis=0)
     r_avg = avg_t - avg_c
     r_pos = ((target - avg_t) - (cur - avg_c)).reshape(-1)
 
-    # finite-difference marker velocity (tracking.cc:189-210)
+    # finite-difference marker velocity (tracking.cc:189-210): the
+    # reference differences the UNWEIGHTED bracketing frames
     target_v = (m1 - m0) * _TRACK_FPS
-    cur_v = jnp.stack([
-        support.point_velocity(m, d, b, d.xpos[b]) for b in marker_bodies])
     r_vel = (target_v - cur_v).reshape(-1)
 
     return jnp.concatenate([d.qvel[6:], d.ctrl, r_avg, r_pos, r_vel])
@@ -1402,15 +1482,27 @@ def _humanoid_track() -> base.TaskSpec:
 
   spec = _build('Humanoid Track', 'humanoid.xml', residual, transition,
                 xml_string=xml,
-                state_params=[('_ref_time', 0.0), ('_last_time', 0.0)])
+                state_params=[('_ref_time', 0.0), ('_last_time', 0.0),
+                              ('_clip', default_clip)])
   for pname in spec.residual_param_names:
     idx[pname] = spec.residual_param_names.index(pname)
-  # start the sim at the clip's first frame: rewrite the home keyframe
+  # start the sim aligned with the clip's first frame: free-joint pose
+  # from the pelvis marker + hip-line yaw
   key_qpos = spec.model.key_qpos
   if 'home' in spec.model.keyframe_names:
     k = spec.model.keyframe_names.index('home')
-    key_qpos = key_qpos.at[k].set(
-        jnp.asarray(clip_q[0], dtype=key_qpos.dtype))
+    q0 = np.array(np.asarray(key_qpos[k]))
+    if use_cmu:
+      f0 = markers_np[int(starts_np[int(default_clip)])]
+      pelvis = f0[0]
+      lhip, rhip = f0[14], f0[15]
+      yaw = float(np.arctan2(*(lhip - rhip)[[0, 1]][::-1])) - np.pi / 2.0
+      # our torso sits 0.41 above the pelvis at home
+      q0[:3] = [pelvis[0], pelvis[1], pelvis[2] + 0.41]
+      q0[3:7] = [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+    else:
+      q0 = np.asarray(_track_clip_qpos()[0])
+    key_qpos = key_qpos.at[k].set(jnp.asarray(q0, dtype=key_qpos.dtype))
   model = spec.model.replace(key_qpos=key_qpos)
   return dataclasses.replace(spec, model=model)
 

@@ -64,23 +64,25 @@ def test_shadow_reorient_drop_recovery():
 
 
 def test_rubik_face_mechanism_and_state_machine():
-  """Face-turn mechanism (reference solve.cc): face hinges exist, goals
-  come from the cache, and two consecutive scheduled face-goals advance
-  the unscramble state machine."""
+  """Face-goal state machine (reference solve.cc): goals come from the
+  cache, and two consecutive scheduled face-goals advance the unscramble
+  state machine. Mechanism-level coupling is tested in
+  tests/test_rubik_cube.py."""
   import jax
   import jax.numpy as jnp
   import numpy as np
+  from mujoco_mpc_tpu.models import rubik as rubik_mod
   from mujoco_mpc_tpu.physics import forward as fwd
   from mujoco_mpc_tpu.physics.model import make_data
   from mujoco_mpc_tpu.tasks import registry
-  from mujoco_mpc_tpu.tasks.registry import _rubik_face_schedule
 
   spec = registry.get_task('Cube Solving')
   names = spec.residual_param_names
   idx = {n: names.index(n) for n in names}
-  cache, scrambled = _rubik_face_schedule(5)
+  scrambled_qpos, cache, _moves = rubik_mod.scramble(5, seed=11)
   m = spec.model
-  assert m.nq == 7 + 6 + 15   # cube free + 6 faces + 15 hand dofs
+  # interlocked cube: free 7 + 6 face hinges + 20 ring quats + 15 hand
+  assert m.nq == 7 + 6 + 80 + 15
 
   d = make_data(m).replace(qpos=m.keyframe_qpos('home'))
   d = fwd.forward(m, d)
@@ -88,7 +90,7 @@ def test_rubik_face_mechanism_and_state_machine():
   assert r.shape == (spec.num_residual,)
 
   # scrambled home state: face angles match the schedule's end state
-  np.testing.assert_allclose(np.asarray(d.qpos[7:13]), scrambled,
+  np.testing.assert_allclose(np.asarray(d.qpos[7:13]), cache[-1],
                              atol=1e-5)
 
   params = spec.default_params
@@ -115,32 +117,6 @@ def test_rubik_face_mechanism_and_state_machine():
     dk = fwd.forward(m, d3.replace(qpos=jnp.asarray(qp, d.qpos.dtype)))
     _, params = spec.transition_fn(m, dk, params, k)
   assert int(round(float(params.residual_params[idx['_mode']]))) == 0
-
-
-def test_rubik_face_turnable_by_contact():
-  """A fingertip pressing tangentially on a face nub turns the hinge:
-  the faces are physically actuated through contact, not scripted."""
-  import jax
-  import jax.numpy as jnp
-  import numpy as np
-  from mujoco_mpc_tpu.physics import forward as fwd
-  from mujoco_mpc_tpu.physics.model import make_data
-  from mujoco_mpc_tpu.tasks import registry
-
-  spec = registry.get_task('Cube Solving')
-  m = spec.model
-  d = make_data(m).replace(qpos=m.keyframe_qpos('home'))
-  # drive the fingers to close on the cube; any face hinge should move
-  # away from its scrambled rest angle under fingertip contact torque
-  start = np.array(d.qpos[7:13])
-  step = jax.jit(fwd.step)
-  ctrl = jnp.asarray(np.tile([1.2, 1.2, 1.0], 5), dtype=d.qpos.dtype)
-  d = d.replace(ctrl=ctrl)
-  for _ in range(80):
-    d = step(m, d)
-  moved = np.abs(np.array(d.qpos[7:13]) - start).max()
-  assert np.isfinite(moved)
-  assert moved > 0.01, f'faces did not move under contact ({moved})'
 
 
 def test_interact_contact_keyframe_residual():

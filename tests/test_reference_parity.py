@@ -394,3 +394,84 @@ def test_fingers_sampling_improves():
     if ret0 is None:
       ret0 = float(info['best_return'])
   assert float(info['best_return']) <= ret0 + 1e-9
+
+
+def test_cmu_tracking_residual_parity():
+  """Humanoid Track on the reference's REAL CMU clips: the marker
+  position/velocity residual matches an independent implementation of
+  tracking.cc:140-215 (interpolation weights, marker averaging/
+  centering, finite-difference marker velocity) evaluated on the same
+  clip data."""
+  from mujoco_mpc_tpu.physics import support
+  from mujoco_mpc_tpu.tasks import registry
+
+  assert ref.cmu_clips_available()
+  mpos, starts, lengths = ref.load_cmu_clips()
+  # clip lengths must match the reference's hardcoded table
+  # (tracking.cc kMotionLengths)
+  np.testing.assert_array_equal(
+      lengths, [121, 154, 115, 78, 145, 188, 260, 279, 39, 510])
+
+  spec = registry.get_task('Humanoid Track')
+  m = spec.model
+  idx = {n: i for i, n in enumerate(spec.residual_param_names)}
+  widx = {n: i for i, n in enumerate(spec.term_names)}
+  clip = 9                                     # walk clip
+  t = 0.4121                                   # mid-frame query time
+
+  d = make_data(m).replace(qpos=m.keyframe_qpos('home'),
+                           qvel=0.1 * jnp.ones(m.nv),
+                           time=jnp.asarray(t, jnp.float32))
+  d = fwd.forward(m, d)
+  rp = spec.default_params.residual_params
+  rp = rp.at[idx['_clip']].set(float(clip))
+  r = np.asarray(spec.residual_fn(m, d, rp))
+
+  # --- independent reference-formula implementation (tracking.cc) ---
+  start, length = int(starts[clip]), int(lengths[clip])
+  kfps = 30.0
+  current_index = t * kfps + start
+  max_index = start + length - 1
+  i0 = int(np.floor(np.clip(current_index, 0, max_index)))
+  i1 = min(i0 + 1, max_index)
+  w1 = np.clip(current_index, 0, max_index) - i0
+  w0 = 1.0 - w1
+  target = w0 * mpos[i0] + w1 * mpos[i1]       # (16, 3)
+
+  sites = [spec.model.site(f'marker[{n}]') for n in ref.CMU_MARKERS]
+  cur = np.asarray(d.site_xpos)[sites]
+  avg_t, avg_c = target.mean(0), cur.mean(0)
+  want_avg = avg_t - avg_c
+  want_pos = ((target - avg_t) - (cur - avg_c)).reshape(-1)
+  cur_v = np.stack([np.asarray(support.site_linvel(m, d, s))
+                    for s in sites])
+  want_vel = ((mpos[i1] - mpos[i0]) * kfps - cur_v).reshape(-1)
+
+  off = sum(spec.term_dims[:widx['Avg Pos']])
+  np.testing.assert_allclose(r[off:off + 3], want_avg, atol=2e-5)
+  off = sum(spec.term_dims[:widx['Marker Pos']])
+  np.testing.assert_allclose(r[off:off + 48], want_pos, atol=2e-5)
+  off = sum(spec.term_dims[:widx['Marker Vel']])
+  np.testing.assert_allclose(r[off:off + 48], want_vel, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_cmu_tracking_mpc_bounded_cost():
+  """Sampling MPC on a real CMU walk-clip segment keeps the tracking
+  cost bounded (the reference's real-time tracking loop on clip data)."""
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('Humanoid Track')
+  m = spec.model
+  agent = agent_mod.Agent(spec, num_samples=32, seed=0, planner_id=0,
+                          num_spline_points=4)
+  costs = []
+  for i in range(40):
+    agent.transition()
+    if i % 3 == 0:
+      agent.plan_iteration()
+    agent.step()
+    costs.append(float(agent.cost_terms().sum()))
+  assert np.isfinite(costs).all()
+  # tracking holds: cost stays within 4x of its starting level
+  assert np.mean(costs[-10:]) < 4.0 * max(np.mean(costs[:5]), 0.5), costs
