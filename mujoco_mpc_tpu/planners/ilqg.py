@@ -144,8 +144,14 @@ def boxqp(h: jax.Array, g: jax.Array, lower: jax.Array, upper: jax.Array,
     return (x_new, free)
 
   x0 = jnp.clip(jnp.zeros_like(g), lower, upper)
-  x, free = jax.lax.fori_loop(0, iterations, body,
-                              (x0, jnp.ones(nu, dtype=bool)))
+  # unrolled: boxqp runs INSIDE the Riccati scan body — a fori_loop here
+  # serializes 8 tiny solve+linesearch rounds per time step (T*8
+  # dependent micro-ops dominated the swimmer backward pass); unrolling
+  # lets XLA fuse the rounds into the (already unrolled) scan body
+  carry = (x0, jnp.ones(nu, dtype=bool))
+  for _ in range(iterations):
+    carry = body(0, carry)
+  x, free = carry
   ok = jnp.all(jnp.isfinite(x))
   return x, free, ok
 
@@ -198,7 +204,12 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
     if action_limits:
       lower = ctrlrange[:, 0] - ut
       upper = ctrlrange[:, 1] - ut
-      du, free, qp_ok = boxqp(quu_reg, qu, lower, upper)
+      # 4 active-set rounds: the projected-Newton boxQP converges in
+      # ~nu/2 rounds on these small (nu<=8) problems, and each round is
+      # a solve+linesearch INSIDE the sequential T-step scan — 8 rounds
+      # made boxQP 80% of the backward pass (measured: swimmer riccati
+      # 49.9 ms with limits vs 10.5 without; docs/PERF.md round 4)
+      du, free, qp_ok = boxqp(quu_reg, qu, lower, upper, iterations=4)
       fm = free.astype(a.dtype)
       hm = (quu_reg * jnp.outer(fm, fm)) + eye_u * (1.0 - fm)
       # K = -H_free^{-1} Qxu_free' with clamped rows zero; chol_solve solves
@@ -235,7 +246,7 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
   (vx, vxx, dv0, dv1, ok), (k, gain) = jax.lax.scan(
       step, init,
       (a, b, cx[:-1], cu[:-1], cxx[:-1], cxu[:-1], cuu[:-1], actions[:-1]),
-      reverse=True, unroll=4 if nd <= 20 else 1)
+      reverse=True, unroll=8 if nd <= 20 else 1)
 
   # copy last step (reference planner.cc:493-506)
   k = jnp.concatenate([k, k[-1:]], axis=0)

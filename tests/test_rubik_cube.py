@@ -109,35 +109,52 @@ def test_mpc_unscrambles_two_moves():
     r_act = d.actuator_force
     return jnp.concatenate([r_face, r_vel, r_act])
 
-  xml = rubik.cube_only_xml().replace(
-      '<numeric name="sampling_exploration" data="0.6"/>',
-      '<numeric name="sampling_exploration" data="0.3"/>')
-  spec = _build('CubeMotor', 'rubik.py', residual, xml_string=xml)
-  agent = agent_mod.Agent(spec, num_samples=32, seed=0, planner_id=0)
-  agent.set_state(qpos=jnp.asarray(states[2][7:], dtype=jnp.float32))
+  def agent_for_face(face):
+    # plan torque on the active face's motor; the other motors are
+    # disabled (the cube's frictionloss + contact interlock hold the
+    # inactive layers). The reference's goal cache likewise pursues one
+    # face at a time (solve.cc:209-230) — broadband 6-dof torque noise
+    # ratchets ring cubelets past their cams, which the slot gate below
+    # rejects, so exploration is confined to the layer being turned.
+    xml = rubik.cube_only_xml().replace(
+        '<numeric name="sampling_exploration" data="0.6"/>',
+        '<numeric name="sampling_exploration" data="0.3"/>')
+    for i, n in enumerate(rubik.FACE_NAMES):
+      if i != face:
+        xml = xml.replace(
+            f'<motor name="m_{n}" joint="face_{n}" ctrlrange="-0.2 0.2"/>',
+            f'<motor name="m_{n}" joint="face_{n}" '
+            f'ctrlrange="-0.0001 0.0001"/>')
+    spec = _build('CubeMotor', 'rubik.py', residual, xml_string=xml)
+    return spec, agent_mod.Agent(spec, num_samples=24, seed=0,
+                                 planner_id=0)
 
-  gi = 1                      # unscramble: cache[1] then cache[0]
   achieved = 0
-  rp = np.array(spec.default_params.residual_params)
-  for i in range(600):
+  qpos = jnp.asarray(states[2][7:], dtype=jnp.float32)
+  for gi in (1, 0):
+    face = moves[gi][0]              # undo move gi+1 turns its face back
+    spec, agent = agent_for_face(face)
+    agent.set_state(qpos=qpos)
+    rp = np.array(spec.default_params.residual_params)
     rp[0:6] = cache[gi]
     agent.params = spec.default_params.replace(
         residual_params=jnp.asarray(rp, dtype=jnp.float32))
-    if i % 4 == 0:
-      agent.plan_iteration()
-    agent.step()
-    q = np.asarray(agent.sim_data.qpos)
-    qfull = np.concatenate([states[0][:7], q])
-    slots_ok = all((rubik.ring_slot_now(qfull, j) == slot_tab[gi, j]).all()
-                   for j in range(20))
-    if np.linalg.norm(q[0:6] - cache[gi]) < 0.4 and slots_ok:
-      achieved += 1
-      # detent snap to the exact group state (see registry transition)
-      agent.set_state(qpos=jnp.asarray(states[gi][7:], jnp.float32),
-                      qvel=jnp.zeros(agent.sim_data.qvel.shape[0]))
-      if gi == 0:
+    for i in range(400):
+      if i % 4 == 0:
+        agent.plan_iteration()
+      agent.step()
+      q = np.asarray(agent.sim_data.qpos)
+      qfull = np.concatenate([states[0][:7], q])
+      slots_ok = all(
+          (rubik.ring_slot_now(qfull, j) == slot_tab[gi, j]).all()
+          for j in range(20))
+      if np.linalg.norm(q[0:6] - cache[gi]) < 0.4 and slots_ok:
+        achieved += 1
+        # detent snap to the exact group state (registry transition)
+        qpos = jnp.asarray(states[gi][7:], jnp.float32)
         break
-      gi -= 1
+    else:
+      break
   assert achieved >= 2, (
       f'only {achieved} unscramble moves achieved; '
-      f'faces={np.asarray(agent.sim_data.qpos[0:6])}, goal={cache[gi]}')
+      f'faces={np.asarray(agent.sim_data.qpos[0:6])}')
