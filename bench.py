@@ -228,7 +228,7 @@ def measure_extra_configs():
   for task, ns, key in [('Quadruped Flat', 4096, 'quadruped_ps4096_p50_ms'),
                         ('Humanoid Track', 512, 'humanoid_track_ps512_p50_ms'),
                         ('Shadow Reorient', 8192, 'shadow_ps8192_p50_ms'),
-                        ('Cube Solving', 4096, 'rubik_ps4096_p50_ms')]:
+                        ('Cube Solving', 512, 'rubik_ps512_p50_ms')]:
     def run_once(task=task, ns=ns):
       spec = registry.get_task(task)
       m = spec.model
@@ -358,7 +358,7 @@ def main():
                                  _steps('Humanoid Track'), 0),
         'shadow_ps8192': ('Shadow Reorient', 8192,
                           _steps('Shadow Reorient'), 0),
-        'rubik_ps4096': ('Cube Solving', 4096, _steps('Cube Solving'), 0),
+        'rubik_ps512': ('Cube Solving', 512, _steps('Cube Solving'), 0),
         'particle_ilqg': ('Particle', 0, _steps('Particle'),
                           _ilqg_extra('Particle')),
         'swimmer_ilqg': ('Swimmer', 0, _steps('Swimmer'),

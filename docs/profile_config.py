@@ -29,7 +29,7 @@ CONFIGS = {
     'quadruped': ('Quadruped Flat', 4096),
     'humanoid_track': ('Humanoid Track', 512),
     'shadow': ('Shadow Reorient', 8192),
-    'rubik': ('Cube Solving', 4096),
+    'rubik': ('Cube Solving', 512),
 }
 
 

@@ -72,8 +72,15 @@ def ring_slots():
 
 def cube_body_xml(with_freejoint: bool = True, pos: str = '0 0 0.072',
                   damping: float = 0.002, armature: float = 0.0002,
-                  frictionloss: float = 0.0005) -> str:
-  """The interlocked cube subtree (26 cubelets + core)."""
+                  frictionloss: float = 0.0005,
+                  face_damping: float = 0.08) -> str:
+  """The interlocked cube subtree (26 cubelets + core).
+
+  face_damping: heavy damping on the 6 face hinges keeps layer turns
+  quasistatic (~tau/d <= 1.5 rad/s) — torque bursts from knot-hold MPC
+  policies otherwise slam a layer through the cam backlash fast enough
+  to pop the center past its ring cubelets (ratcheting). Real cubes are
+  friction-damped the same way."""
   slots = ring_slots()
   p = PITCH
   faces = []
@@ -83,7 +90,7 @@ def cube_body_xml(with_freejoint: bool = True, pos: str = '0 0 0.072',
       <body name="face_{name}" pos="0 0 0">
         <joint name="face_{name}" type="hinge"
                axis="{ax[0]:.0f} {ax[1]:.0f} {ax[2]:.0f}" limited="false"
-               damping="{damping}" armature="{armature}"
+               damping="{face_damping}" armature="{armature}"
                frictionloss="{frictionloss}"/>
         <geom name="cubelet_{name}" type="mesh" mesh="cubelet_c"
               pos="{off[0]:.5f} {off[1]:.5f} {off[2]:.5f}"

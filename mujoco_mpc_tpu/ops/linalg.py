@@ -13,15 +13,114 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# above this size, fall back to XLA's native kernels
+# above this size, use the blocked path (matmuls + unrolled diagonal
+# blocks); above BLOCK_LIMIT, XLA's native kernels
 UNROLL_LIMIT = 24
+BLOCK_LIMIT = 128
+
+
+def _tri_ranges(n: int, nb: int):
+  return [(i, min(i + nb, n)) for i in range(0, n, nb)]
+
+
+def _fwd_sub_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
+  """Solve L y = b (L lower-triangular, unrolled); b (..., n) or
+  (..., n, m)."""
+  n = l.shape[-1]
+  vec = b.ndim == l.ndim - 1
+  y = [None] * n
+  for i in range(n):
+    s = b[..., i] if vec else b[..., i, :]
+    for k in range(i):
+      lik = l[..., i, k] if vec else l[..., i, k, None]
+      s = s - lik * y[k]
+    y[i] = s / (l[..., i, i] if vec else l[..., i, i, None])
+  return jnp.stack(y, axis=-1 if vec else -2)
+
+
+def _bwd_sub_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
+  """Solve L^T x = b (unrolled); b (..., n) or (..., n, m)."""
+  n = l.shape[-1]
+  vec = b.ndim == l.ndim - 1
+  x = [None] * n
+  for i in reversed(range(n)):
+    s = b[..., i] if vec else b[..., i, :]
+    for k in range(i + 1, n):
+      lki = l[..., k, i] if vec else l[..., k, i, None]
+      s = s - lki * x[k]
+    x[i] = s / (l[..., i, i] if vec else l[..., i, i, None])
+  return jnp.stack(x, axis=-1 if vec else -2)
+
+
+def _t(a: jax.Array) -> jax.Array:
+  return jnp.swapaxes(a, -1, -2)
+
+
+def _chol_factor_blocked(a: jax.Array, nb: int = UNROLL_LIMIT) -> jax.Array:
+  """Right-looking blocked Cholesky built from batched matmuls plus
+  unrolled diagonal-block factorizations — no XLA Cholesky /
+  TriangularSolve custom calls. XLA's blocked TriangularSolve lowering
+  (InvertDiagBlocksLowerTriangular) blows the 16 MiB scoped-vmem limit
+  at (4096, 87, 87) — the interlocked-cube planning batch — while this
+  formulation is ordinary fused HLO the scheduler can tile."""
+  rng = _tri_ranges(a.shape[-1], nb)
+  m = len(rng)
+  blk = [[None] * m for _ in range(m)]
+  for j, (j0, j1) in enumerate(rng):
+    s = a[..., j0:j1, j0:j1]
+    for k in range(j):
+      s = s - blk[j][k] @ _t(blk[j][k])
+    ljj = chol_factor(s)
+    blk[j][j] = ljj
+    for i in range(j + 1, m):
+      i0, i1 = rng[i]
+      p = a[..., i0:i1, j0:j1]
+      for k in range(j):
+        p = p - blk[i][k] @ _t(blk[j][k])
+      # X L_jj^T = p  ->  L_jj X^T = p^T
+      blk[i][j] = _t(_fwd_sub_unrolled(ljj, _t(p)))
+  rows = []
+  for i, (i0, i1) in enumerate(rng):
+    row = []
+    for j, (j0, j1) in enumerate(rng):
+      if blk[i][j] is not None:
+        row.append(blk[i][j])
+      else:
+        row.append(jnp.zeros(a.shape[:-2] + (i1 - i0, j1 - j0),
+                             dtype=a.dtype))
+    rows.append(jnp.concatenate(row, axis=-1))
+  return jnp.concatenate(rows, axis=-2)
+
+
+def _chol_solve_blocked(l: jax.Array, b: jax.Array,
+                        nb: int = UNROLL_LIMIT) -> jax.Array:
+  """(L L^T) x = b via blocked forward/backward substitution."""
+  rng = _tri_ranges(l.shape[-1], nb)
+  m = len(rng)
+  y = [None] * m
+  for j, (j0, j1) in enumerate(rng):
+    s = b[..., j0:j1]
+    for k, (k0, k1) in enumerate(rng[:j]):
+      s = s - jnp.einsum('...ij,...j->...i', l[..., j0:j1, k0:k1], y[k])
+    y[j] = _fwd_sub_unrolled(l[..., j0:j1, j0:j1], s)
+  x = [None] * m
+  for j in reversed(range(m)):
+    j0, j1 = rng[j]
+    s = y[j]
+    for k in range(j + 1, m):
+      k0, k1 = rng[k]
+      s = s - jnp.einsum('...ji,...j->...i', l[..., k0:k1, j0:j1], x[k])
+    x[j] = _bwd_sub_unrolled(l[..., j0:j1, j0:j1], s)
+  return jnp.concatenate(x, axis=-1)
 
 
 def chol_factor(a: jax.Array) -> jax.Array:
   """Cholesky factor L (lower) of SPD a (..., n, n), unrolled for small n."""
   n = a.shape[-1]
-  if n > UNROLL_LIMIT:
+  if n > BLOCK_LIMIT:
     return jnp.linalg.cholesky(a)
+  if n > UNROLL_LIMIT:
+    return _chol_factor_blocked(a)
   # column-by-column unrolled Cholesky-Crout on scalar slices
   cols = [[None] * n for _ in range(n)]
   for j in range(n):
@@ -47,9 +146,11 @@ def chol_factor(a: jax.Array) -> jax.Array:
 def chol_solve(l: jax.Array, b: jax.Array) -> jax.Array:
   """Solve (L L^T) x = b given the Cholesky factor, unrolled for small n."""
   n = l.shape[-1]
-  if n > UNROLL_LIMIT:
+  if n > BLOCK_LIMIT:
     y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
     return jax.scipy.linalg.solve_triangular(l, y, lower=True, trans=1)
+  if n > UNROLL_LIMIT:
+    return _chol_solve_blocked(l, b)
   # forward substitution
   y = [None] * n
   for i in range(n):

@@ -1022,19 +1022,21 @@ def _cube_solving() -> base.TaskSpec:
   goal_mocap = spec_model.body_mocapid[spec_model.body('goal')]
   cache = jnp.asarray(cache_np, dtype=jnp.float32)   # (n_moves+1, 6)
   states = jnp.asarray(states_np, dtype=jnp.float32)  # (n_moves+1, 93)
-  slot_tab = jnp.asarray(rubik_mod.ring_slot_table(states_np),
-                         dtype=jnp.float32)           # (n_moves+1, 20, 3)
-  slots0 = jnp.asarray(rubik_mod.ring_slots(), dtype=jnp.float32)
   nhand = spec_model.nu
   face_qadr = 7                     # cube free joint (7) then 6 face dofs
   hand_qadr = 93                    # free 7 + hinges 6 + 20 ring quats 80
   idx = {}
   home_qpos = None
 
-  def _ring_slots_now(qring):
-    """(80,) ring ball quats -> (20, 3) rounded slot occupancy."""
+  def _rings_near(qring, gi):
+    """True when every ring ball quat is within the cam-backlash cone
+    (0.6 rad) of the exact group state `gi` — real layer transport
+    (a ratcheted center leaves its ring a quarter-turn = 1.57 away)."""
     qq = qring.reshape(20, 4)
-    return jnp.round(jax.vmap(tm.quat_rot)(qq, slots0))
+    tq = states[gi, 13:93].reshape(20, 4)
+    dots = jnp.abs(jnp.sum(qq * tq, axis=1))
+    ang = 2.0 * jnp.arccos(jnp.clip(dots, 0.0, 1.0))
+    return jnp.all(ang < 0.6)
 
   def residual(m, d, rp):
     dtype = d.qpos.dtype
@@ -1072,10 +1074,9 @@ def _cube_solving() -> base.TaskSpec:
     faces = d.qpos[face_qadr:face_qadr + 6]
     goal = cache[gi].astype(dtype)
     err = jnp.linalg.norm(faces - goal)
-    slots_ok = jnp.all(jnp.abs(
-        _ring_slots_now(d.qpos[13:93]) - slot_tab[gi]) < 0.5)
+    rings_ok = _rings_near(d.qpos[13:93], gi)
     achieved = jnp.logical_and(mode > 0.5,
-                               jnp.logical_and(err < 0.4, slots_ok))
+                               jnp.logical_and(err < 0.4, rings_ok))
     solved = jnp.logical_and(achieved, gi == 0)
     gi_new = jnp.where(jnp.logical_and(achieved, gi > 0), gi - 1, gi)
     mode_new = jnp.where(solved, 0.0, mode)

@@ -108,6 +108,7 @@ def test_lane_padding():
                              rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sublane_tile_layout_matches_lane_layout():
   """(S, 128) batch-tile layout vs the (128,) lane layout, same seed.
 
@@ -128,6 +129,7 @@ def test_sublane_tile_layout_matches_lane_layout():
                                rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_implicit_jvp_matches_loop_jacfwd():
   """The frozen-active-set implicit tangent vs differentiating the loop.
 
@@ -189,6 +191,7 @@ def _synthetic_group(key, bsz, p, condim, nv, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize('condim', [1, 3, 6])
+@pytest.mark.slow
 def test_point_group_matches_expanded_dense(condim):
   """Solving with a point group == solving its facet-expanded dense rows
   (per-sample f64 reference path)."""
@@ -221,6 +224,7 @@ def test_point_group_matches_expanded_dense(condim):
       rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_kernel_point_group_matches_reference():
   """Fused kernel with in-VMEM factored facet expansion vs the XLA path,
   both layouts."""
@@ -250,6 +254,7 @@ def test_kernel_point_group_matches_reference():
                                  rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_point_group_implicit_jvp():
   """Implicit tangent through a factored point group vs jacfwd of the
   loop (differentiating through the G factors and the shared cdofc)."""

@@ -101,7 +101,6 @@ def test_mpc_unscrambles_two_moves():
   from mujoco_mpc_tpu.tasks.registry import _build
 
   states, cache, moves = rubik.scramble_states(2, seed=5)
-  slot_tab = rubik.ring_slot_table(states)
 
   def residual(m, d, rp):
     r_face = d.qpos[0:6] - rp[0:6]
@@ -139,16 +138,19 @@ def test_mpc_unscrambles_two_moves():
     rp[0:6] = cache[gi]
     agent.params = spec.default_params.replace(
         residual_params=jnp.asarray(rp, dtype=jnp.float32))
-    for i in range(400):
-      if i % 4 == 0:
+    for i in range(1500):
+      if i % 8 == 0:
         agent.plan_iteration()
       agent.step()
       q = np.asarray(agent.sim_data.qpos)
-      qfull = np.concatenate([states[0][:7], q])
-      slots_ok = all(
-          (rubik.ring_slot_now(qfull, j) == slot_tab[gi, j]).all()
-          for j in range(20))
-      if np.linalg.norm(q[0:6] - cache[gi]) < 0.4 and slots_ok:
+      # every ring within the cam-backlash cone of the exact target
+      # state: real layer transport (a ratcheted center leaves its ring
+      # a quarter-turn = 1.57 rad away)
+      qq = q[6:86].reshape(20, 4)
+      tq = states[gi][13:93].reshape(20, 4)
+      ang = 2 * np.arccos(np.clip(np.abs(np.sum(qq * tq, axis=1)), 0, 1))
+      rings_ok = bool((ang < 0.6).all())
+      if np.linalg.norm(q[0:6] - cache[gi]) < 0.4 and rings_ok:
         achieved += 1
         # detent snap to the exact group state (registry transition)
         qpos = jnp.asarray(states[gi][7:], jnp.float32)

@@ -15,7 +15,15 @@ from mujoco_mpc_tpu.planners import sampling
 from mujoco_mpc_tpu.tasks import registry
 
 
-@pytest.mark.parametrize('name', registry.task_names())
+# the interlocked cube (26 mesh cubelets, 310 contact pairs) takes
+# minutes to load+trace on one CPU: its cases run in the slow suite
+_HEAVY_TASKS = ('Cube Solving',)
+_TASK_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY_TASKS else n
+    for n in registry.task_names()]
+
+
+@pytest.mark.parametrize('name', _TASK_PARAMS)
 def test_task_loads_and_residual_dims(name):
   spec = registry.get_task(name)
   d = make_data(spec.model)
@@ -28,7 +36,7 @@ def test_task_loads_and_residual_dims(name):
   assert terms.shape == (spec.num_term,)
 
 
-@pytest.mark.parametrize('name', registry.task_names())
+@pytest.mark.parametrize('name', _TASK_PARAMS)
 def test_task_steps(name):
   spec = registry.get_task(name)
   d = make_data(spec.model)
