@@ -58,7 +58,6 @@ def measure_tpu_plans_per_s():
     jax.block_until_ready((pol, best))
   except Exception:
     os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
-    os.environ.pop('MJPC_TPU_FUSED_ROLLOUT', None)
     jax.clear_caches()
     pol, best = plan(policy, key)
     jax.block_until_ready((pol, best))

@@ -20,9 +20,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 CONFIGS = {
     'cartpole': ('Cartpole', 8192),
-    # same config with the fused whole-rollout Pallas kernel
-    # (ops/pallas_rollout.py) — eligible small smooth model
-    'cartpole_fused': ('Cartpole', 8192),
     'quadruped': ('Quadruped Flat', 4096),
     'humanoid_track': ('Humanoid Track', 512),
     'shadow': ('Shadow Reorient', 8192),
@@ -75,10 +72,6 @@ def main():
   for name, (task, ns) in CONFIGS.items():
     if only and only != name:
       continue
-    if name.endswith('_fused'):
-      os.environ['MJPC_TPU_FUSED_ROLLOUT'] = '1'
-    else:
-      os.environ.pop('MJPC_TPU_FUSED_ROLLOUT', None)
     try:
       p50, comp, t = measure(task, ns)
       print(f'{name:16s} {ns}x{t}: p50 {p50:8.1f} ms  (compile {comp:.0f}s)',

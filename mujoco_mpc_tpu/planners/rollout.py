@@ -57,45 +57,16 @@ def rollout_actions(spec: TaskSpec, d0: Data, actions: jax.Array,
 
 def batched_returns(spec: TaskSpec, d0: Data, actions: jax.Array,
                     params: TaskParams) -> jax.Array:
-  """Total returns for a batch of action sequences (B, T, nu).
+  """Total returns for a batch of action sequences (B, T, nu):
+  vmap(scan(step)) (rollout_actions).
 
-  On TPU with MJPC_TPU_FUSED_ROLLOUT=1 and an eligible small smooth
-  model, the dynamics scan runs as ONE fused Pallas program per 128
-  candidates (ops/pallas_rollout.py) and the residuals are recomputed in
-  a single batched forward over all (B, T) states — XLA dead-code-
-  eliminates every stage the task residual does not read. Everywhere
-  else: vmap(scan(step)) (rollout_actions)."""
-  from mujoco_mpc_tpu.ops import pallas_rollout
-
-  m = spec.model
-  b = actions.shape[0]
-  if not pallas_rollout.usable(m, b, actions.dtype):
-    return jax.vmap(lambda a: rollout_return(spec, d0, a, params))(actions)
-
-  pad = (-b) % pallas_rollout.LANES
-  acts = (jnp.concatenate([actions, actions[:pad]], axis=0) if pad
-          else actions)
-  cap = min(int(m.opt.iterations), 8)
-  qpos_t, qvel_t = pallas_rollout.rollout_states(
-      m, d0, d0.qpos, d0.qvel, acts, cap=cap,
-      interpret=pallas_rollout.FORCE_INTERPRET)   # (B', T, nq/nv)
-  if pad:
-    qpos_t, qvel_t = qpos_t[:b], qvel_t[:b]
-  t = actions.shape[1]
-  h = m.opt.timestep
-  times = d0.time + h * jnp.arange(t, dtype=qpos_t.dtype)
-
-  def res_at(qpos, qvel, ctrl, time):
-    # residual at the pre-integration state (reference semantics,
-    # trajectory.cc:141-180); unused forward stages are DCE'd
-    d = fwd.forward(m, d0.replace(qpos=qpos, qvel=qvel, ctrl=ctrl,
-                                  time=time))
-    return spec.residual_fn(m, d, params.residual_params)
-
-  res = jax.vmap(jax.vmap(res_at, in_axes=(0, 0, 0, 0)),
-                 in_axes=(0, 0, 0, None))(qpos_t, qvel_t, actions, times)
-  costs = jax.vmap(lambda r: spec.cost(r, params))(res)   # (B, T)
-  return total_return(costs)
+  A fused whole-rollout Pallas kernel for small smooth models lived
+  behind this seam for two rounds (ops/pallas_rollout.py, 759 LoC); it
+  measured perf-neutral vs this XLA path on the cartpole headline
+  (42.6 vs 41.4 ms plan p50 on v5e) because the rollout scan is not the
+  bottleneck at 8192 samples — removed rather than carried dormant
+  (round-3 verdict's earn-or-cut). git history has the kernel."""
+  return jax.vmap(lambda a: rollout_return(spec, d0, a, params))(actions)
 
 
 def total_return(costs: jax.Array) -> jax.Array:
