@@ -72,7 +72,16 @@ def measure_tpu_plans_per_s():
     lat.append(time.perf_counter() - t0)
   lat.sort()
   p50 = lat[len(lat) // 2]
-  return 1.0 / p50, p50 * 1e3, t_steps
+  # steady state: chained plans (policy_{k+1} = plan(policy_k)), one sync
+  # at the end — the Agent's continuous plan loop; the blocking p50 above
+  # additionally carries the ~25 ms tunnel sync floor (docs/PERF.md)
+  t0 = time.perf_counter()
+  p = pol
+  for _ in range(16):
+    p, _ = plan(p, key)
+  jax.block_until_ready(p)
+  steady_ms = (time.perf_counter() - t0) / 16 * 1e3
+  return 1.0 / p50, p50 * 1e3, steady_ms, t_steps
 
 
 def measure_cpu_baseline(t_steps: int) -> float:
@@ -325,8 +334,135 @@ def measure_extra_configs():
   return out
 
 
+def measure_xrealtime():
+  """Synchronous plan-act loop x-realtime (reference testspeed.cc:96-123).
+
+  Runs the fully jitted plan-and-step scan (agent.synchronous_mpc: task
+  Transition -> state sync -> plan -> steps_per_plan sim steps, exactly
+  the reference's synchronous loop shape) and reports sim_time/wall plus
+  average cost per step for the three PS BASELINE configs."""
+  import jax
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.tasks import registry
+
+  out = {}
+  steps_per_plan = 4            # reference testspeed_app.cc:23-28 default
+  nplans = 25
+  for task, ns, key in [('Cartpole', 8192, 'cartpole'),
+                        ('Quadruped Flat', 4096, 'quadruped_ps4096'),
+                        ('Humanoid Track', 512, 'humanoid_track_ps512')]:
+    try:
+      spec = registry.get_task(task)
+      m = spec.model
+      dtype = m.qpos0.dtype
+      sim0 = make_data(m, dtype=dtype)
+      if 'home' in m.keyframe_names:
+        sim0 = sim0.replace(
+            qpos=m.key_qpos[m.keyframe_names.index('home')].astype(dtype))
+      total_steps = nplans * steps_per_plan
+
+      run = jax.jit(lambda k, spec=spec, ns=ns, sim0=sim0,
+                    total_steps=total_steps: agent_mod.synchronous_mpc(
+                        spec, ns, total_steps, steps_per_plan, k,
+                        sim0=sim0))
+      carry, costs = run(jax.random.key(0))      # warmup/compile
+      jax.block_until_ready(costs)
+      t0 = time.perf_counter()
+      carry, costs = run(jax.random.key(1))
+      jax.block_until_ready(costs)
+      wall = time.perf_counter() - t0
+      sim_time = total_steps * float(spec.mj_model.opt.timestep)
+      out[key + '_xrealtime'] = round(sim_time / wall, 3)
+      out[key + '_avg_cost'] = round(float(costs.mean()), 4)
+    except Exception as e:
+      out[key + '_xrealtime_error'] = str(e)[:160]
+  return out
+
+
+def fused_newton_golden():
+  """On-hardware golden check of the fused Pallas Newton kernel.
+
+  The production contact solve dispatches ops/pallas_newton.py's fused
+  whole-iteration kernel for batched f32 planning; its interpret-mode
+  equivalence is pinned in tests/test_pallas_newton.py but hardware
+  numerics (f32 reduction order on the real Mosaic lowering) were
+  previously accepted on one A/B note (docs/PERF.md round 4). This check
+  runs a real contact config (Quadruped Flat, batch 256) through BOTH
+  paths on the chip: (a) a 5-step batched rollout comparing qpos drift,
+  (b) one 256-sample plan comparing best_return. Fails loudly in the
+  bench JSON on regression. Reference bar: the C solver is always
+  trusted by rollouts (mjpc/trajectory.cc:158).
+  """
+  import jax
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.ops import spline
+  from mujoco_mpc_tpu.physics import forward as fwd
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task('Quadruped Flat')
+  m = spec.model
+  d0 = make_data(m)
+  if 'home' in m.keyframe_names:
+    d0 = d0.replace(qpos=m.key_qpos[m.keyframe_names.index('home')])
+  t_steps = agent_mod.horizon_steps(spec)
+  batch = 256
+
+  def run_both(fn, *args):
+    """Evaluate fn on the fused path, then on the XLA path."""
+    jax.clear_caches()
+    os.environ.pop('MJPC_TPU_FUSED_NEWTON', None)
+    fused = jax.jit(fn)(*args)
+    jax.block_until_ready(fused)
+    os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
+    jax.clear_caches()
+    ref = jax.jit(fn)(*args)
+    jax.block_until_ready(ref)
+    os.environ.pop('MJPC_TPU_FUSED_NEWTON', None)
+    return fused, ref
+
+  # (a) 5-step batched rollout: qpos drift between solver paths
+  key = jax.random.key(3)
+  ctrl = 0.2 * jax.random.normal(key, (batch, 5, m.nu), dtype=jnp.float32)
+
+  def rollout5(ctrl):
+    def step(d, u):
+      d = fwd.step(m, d.replace(ctrl=u))
+      return d, None
+    def one(us):
+      d, _ = jax.lax.scan(step, d0, us)
+      return d.qpos
+    return jax.vmap(one)(ctrl)
+
+  qpos_f, qpos_r = run_both(rollout5, ctrl)
+  drift = float(jnp.max(jnp.abs(qpos_f - qpos_r)))
+
+  # (b) one plan: best_return agreement
+  policy = sampling.default_policy(spec, SPLINE_POINTS)
+  cfg = sampling.default_config(spec)
+
+  def plan(pol, k):
+    _, info = sampling.optimize(spec, pol, d0, spec.default_params, cfg, k,
+                                batch, t_steps, int(spline.Interp.ZERO))
+    return info['best_return'], info['winner']
+
+  (br_f, win_f), (br_r, win_r) = run_both(plan, policy, jax.random.key(7))
+  br_f, br_r = float(br_f), float(br_r)
+  rel = abs(br_f - br_r) / max(abs(br_r), 1e-9)
+  ok = bool(drift <= 0.05 and rel <= 0.02)
+  return {
+      'fused_newton_golden_ok': ok,
+      'fused_newton_qpos_drift': round(drift, 5),
+      'fused_newton_best_return_rel_err': round(rel, 5),
+      'fused_newton_winner_match': bool(int(win_f) == int(win_r)),
+  }
+
+
 def main():
-  plans_per_s, p50_ms, t_steps = measure_tpu_plans_per_s()
+  plans_per_s, p50_ms, steady_ms, t_steps = measure_tpu_plans_per_s()
   try:
     baseline = measure_cpu_baseline(t_steps)
     vs = plans_per_s / baseline
@@ -336,6 +472,18 @@ def main():
     extra = measure_extra_configs()
   except Exception:
     extra = {}
+  extra['cartpole_steady_ms'] = round(steady_ms, 1)
+  try:
+    extra.update(measure_xrealtime())
+  except Exception as e:
+    extra['xrealtime_error'] = str(e)[:160]
+  # LAST: the golden check flips the solver-path env knob and clears jit
+  # caches; running it after all latency measurements keeps them warm
+  try:
+    extra.update(fused_newton_golden())
+  except Exception as e:
+    extra['fused_newton_golden_ok'] = False
+    extra['fused_newton_golden_error'] = str(e)[:200]
 
   # reference-side numbers measured on this box (BASELINE.md): same
   # model + sample count + horizon through the MuJoCo C engine

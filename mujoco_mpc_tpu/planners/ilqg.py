@@ -66,6 +66,11 @@ class ILQGState:
   regularization: jax.Array
   regularization_factor: jax.Array
   previous_return: jax.Array
+  # expected-improvement coefficients (dV) of the backward pass whose
+  # action_improvement is stored in `policy` — consumed by the NEXT call's
+  # surprise computation (the pipelined optimize applies the stored
+  # improvement and computes a fresh one per call; see optimize())
+  expected_dv: jax.Array = None
 
 
 @struct.dataclass
@@ -106,7 +111,8 @@ def default_state(spec: TaskSpec, horizon_steps: int,
       policy=policy,
       regularization=jnp.asarray(1.0, dtype=dtype),
       regularization_factor=jnp.asarray(2.0, dtype=dtype),
-      previous_return=jnp.asarray(rollout_mod.MAX_RETURN_VALUE, dtype=dtype))
+      previous_return=jnp.asarray(rollout_mod.MAX_RETURN_VALUE, dtype=dtype),
+      expected_dv=jnp.zeros(2, dtype=dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -334,36 +340,20 @@ def nominal_action_from_policy(spec: TaskSpec, policy: ILQGPolicy,
 # ---------------------------------------------------------------------------
 
 
-def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
-             cfg: ILQGConfig, num_candidates: int,
-             horizon_steps: int) -> Tuple[ILQGState, dict]:
-  """One iLQG planning iteration (reference: planner.cc Iteration)."""
+def _backward_with_escalation(spec: TaskSpec, derivs, traj, cfg: ILQGConfig,
+                              mu0: jax.Array, factor: jax.Array):
+  """Backward pass with regularization escalation on failure.
+
+  Happy path = exactly ONE backward pass: (k, gain, dv) are carried
+  through the escalation loop instead of recomputing at the final mu.
+  Returns (k, gain, dv, ok, mu)."""
   m = spec.model
-  dtype = d0.qpos.dtype
 
-  # ----- nominal rollout under the current feedback policy -----
-  # the rollout itself records everything Trajectory needs (feedback terms
-  # vanish when replaying the recorded actions from the same initial state),
-  # so no separate re-record pass is run — the reference's equivalent
-  # NominalTrajectory re-roll (planner.cc OptimizePolicy) is folded away
-  prev_ret, actions, qpos, qvel, act, times, residuals, costs = (
-      _feedback_rollout(spec, d0, state.policy, jnp.zeros((), dtype), params,
-                        horizon_steps, index_by_time=True))
-  traj = derivatives.Trajectory(qpos=qpos, qvel=qvel, act=act, time=times,
-                                actions=actions, residuals=residuals,
-                                costs=costs)
-
-  # ----- derivatives -----
-  derivs = derivatives.compute(spec, d0, traj, params)
-
-  # ----- backward pass with regularization escalation -----
   def bp(mu):
     return riccati(derivs, mu, traj.actions, m.actuator_ctrlrange,
                    cfg.regularization_type, cfg.action_limits)
 
-  # happy path = exactly ONE backward pass: carry (k, gain, dv) through the
-  # escalation loop instead of recomputing at the final mu
-  k0, gain0, dv0, ok0 = bp(state.regularization)
+  k0, gain0, dv0, ok0 = bp(mu0)
 
   def cond(carry):
     _k, _g, _dv, ok, it, _mu = carry
@@ -372,25 +362,136 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
 
   def escalate(carry):
     _k, _g, _dv, _ok, it, mu = carry
-    mu_new = jnp.clip(mu * state.regularization_factor,
-                      MIN_REGULARIZATION, MAX_REGULARIZATION)
+    mu_new = jnp.clip(mu * factor, MIN_REGULARIZATION, MAX_REGULARIZATION)
     kn, gn, dvn, okn = bp(mu_new)
     return (kn, gn, dvn, okn, it + 1, mu_new)
 
   k, gain, dv, bp_ok, _, mu = jax.lax.while_loop(
-      cond, escalate,
-      (k0, gain0, dv0, ok0, jnp.array(0, jnp.int32), state.regularization))
+      cond, escalate, (k0, gain0, dv0, ok0, jnp.array(0, jnp.int32), mu0))
+  return k, gain, dv, bp_ok, mu
+
+
+def _linesearch_steps(num_candidates: int, dtype) -> jax.Array:
+  """Log-spaced improvement scales with a final 0 (= pure nominal replay)
+  (reference: planner.cc:618-667 linesearch grid)."""
+  return jnp.concatenate([
+      jnp.logspace(0.0, jnp.log10(MIN_LINESEARCH_STEP),
+                   num_candidates - 1, dtype=dtype),
+      jnp.zeros(1, dtype=dtype)])
+
+
+def _reg_update(state: ILQGState, surprise, action_step):
+  """Surprise-based regularization scale (backward_pass.cc:341-356)."""
+  factor = state.regularization_factor
+  good = jnp.logical_or(surprise > 0.5, action_step > 0.3)
+  bad = jnp.logical_or(surprise < 0.1, action_step < 0.06)
+  scale = jnp.where(good, 1.0 / factor, jnp.where(bad, factor, 1.0))
+  return scale
+
+
+def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
+             cfg: ILQGConfig, num_candidates: int, horizon_steps: int,
+             pipelined: bool = True) -> Tuple[ILQGState, dict]:
+  """One iLQG planning iteration (reference: planner.cc Iteration).
+
+  pipelined=True (default): forward/backward split. The reference runs
+  TWO sequential rollout phases per iteration — a batch-1 nominal
+  re-record (NominalTrajectory, planner.cc OptimizePolicy) and the
+  linesearch rollouts (ActionRollouts, planner.cc:618-667). On TPU the
+  batch-1 scan is pure dispatch latency (measured 77 of swimmer's 139 ms
+  steady, docs/PERF.md round 4), so the two phases are MERGED: each call
+  runs ONE batched feedback-rollout linesearch from the current state
+  applying the improvement computed by the PREVIOUS call (its scale=0
+  candidate is exactly the reference's nominal re-record — feedback
+  replay without improvement), takes the winner as the new nominal
+  trajectory, then runs derivatives + Riccati to produce the improvement
+  the NEXT call applies. Per call this applies one improvement and
+  computes one, like the reference, with the improvement lagging one
+  planner iteration — the same lag the reference's physics thread
+  already absorbs by acting through time-interpolated feedback gains
+  while the planner replans (policy.cc:82-150).
+
+  pipelined=False: the reference's eager order (nominal rollout ->
+  backward pass -> linesearch applying the fresh improvement) — used by
+  iLQS, whose sampling-vs-iLQG arbitration needs the improvement applied
+  within the same call (ilqs/planner.cc:87-240).
+  """
+  m = spec.model
+  dtype = d0.qpos.dtype
+  steps = _linesearch_steps(num_candidates, dtype)
+
+  if pipelined:
+    # ----- ONE batched feedback-rollout phase, previous improvement -----
+    def one(scale):
+      return _feedback_rollout(spec, d0, state.policy, scale, params,
+                               horizon_steps, index_by_time=True)
+
+    (rets, acts_all, qpos_all, qvel_all, act_all, times_all, res_all,
+     costs_all) = jax.vmap(one)(steps)
+    winner = jnp.argmin(rets)
+    prev_ret = rets[-1]                     # scale-0 = nominal re-record
+
+    traj = derivatives.Trajectory(
+        qpos=qpos_all[winner], qvel=qvel_all[winner], act=act_all[winner],
+        time=times_all[winner], actions=acts_all[winner],
+        residuals=res_all[winner], costs=costs_all[winner])
+
+    # surprise uses the dV of the backward pass that PRODUCED the applied
+    # improvement (carried in state.expected_dv)
+    action_step = steps[winner]
+    dv_prev = (state.expected_dv if state.expected_dv is not None
+               else jnp.zeros(2, dtype))
+    expected = (-action_step * (dv_prev[0] + action_step * dv_prev[1])
+                + 1.0e-16)
+    improvement = prev_ret - rets[winner]
+    surprise = jnp.clip(improvement / expected, 0.0, 2.0)
+    mu_start = jnp.clip(
+        state.regularization * _reg_update(state, surprise, action_step),
+        MIN_REGULARIZATION, MAX_REGULARIZATION)
+
+    # ----- derivatives + backward pass on the winner trajectory -----
+    derivs = derivatives.compute(spec, d0, traj, params)
+    k, gain, dv, bp_ok, mu = _backward_with_escalation(
+        spec, derivs, traj, cfg, mu_start, state.regularization_factor)
+
+    new_policy = ILQGPolicy(
+        times=traj.time, qpos=traj.qpos, qvel=traj.qvel, act=traj.act,
+        actions=traj.actions, feedback_gain=gain, action_improvement=k,
+        feedback_scaling=jnp.asarray(1.0, dtype))
+    new_state = ILQGState(
+        policy=new_policy, regularization=mu,
+        regularization_factor=state.regularization_factor,
+        previous_return=rets[winner], expected_dv=dv)
+    info = {
+        'best_return': rets[winner],
+        'nominal_return': prev_ret,
+        'improvement': jnp.maximum(improvement, 0.0),
+        'action_step': action_step,
+        'surprise': surprise,
+        'regularization': mu,
+        'backward_pass_ok': bp_ok,
+    }
+    return new_state, info
+
+  # ----- eager (reference) order -----
+  # nominal rollout under the current feedback policy: the rollout itself
+  # records everything Trajectory needs (feedback terms vanish when
+  # replaying the recorded actions from the same initial state)
+  prev_ret, actions, qpos, qvel, act, times, residuals, costs = (
+      _feedback_rollout(spec, d0, state.policy, jnp.zeros((), dtype), params,
+                        horizon_steps, index_by_time=True))
+  traj = derivatives.Trajectory(qpos=qpos, qvel=qvel, act=act, time=times,
+                                actions=actions, residuals=residuals,
+                                costs=costs)
+  derivs = derivatives.compute(spec, d0, traj, params)
+  k, gain, dv, bp_ok, mu = _backward_with_escalation(
+      spec, derivs, traj, cfg, state.regularization,
+      state.regularization_factor)
 
   nominal_policy = ILQGPolicy(
       times=traj.time, qpos=traj.qpos, qvel=traj.qvel, act=traj.act,
       actions=traj.actions, feedback_gain=gain, action_improvement=k,
       feedback_scaling=jnp.asarray(1.0, dtype))
-
-  # ----- line search: batched feedback rollouts -----
-  steps = jnp.concatenate([
-      jnp.logspace(0.0, jnp.log10(MIN_LINESEARCH_STEP),
-                   num_candidates - 1, dtype=dtype),
-      jnp.zeros(1, dtype=dtype)])
 
   def one(scale):
     return _feedback_rollout(spec, d0, nominal_policy, scale, params,
@@ -405,21 +506,17 @@ def optimize(spec: TaskSpec, state: ILQGState, d0: Data, params: TaskParams,
       act=act_all[winner], actions=acts_all[winner], feedback_gain=gain,
       action_improvement=k, feedback_scaling=jnp.asarray(1.0, dtype))
 
-  # ----- surprise-based regularization update (backward_pass.cc:341-356) ---
   action_step = steps[winner]
   expected = -action_step * (dv[0] + action_step * dv[1]) + 1.0e-16
   improvement = prev_ret - rets[winner]
   surprise = jnp.clip(improvement / expected, 0.0, 2.0)
-
-  factor = state.regularization_factor
-  good = jnp.logical_or(surprise > 0.5, action_step > 0.3)
-  bad = jnp.logical_or(surprise < 0.1, action_step < 0.06)
-  scale = jnp.where(good, 1.0 / factor, jnp.where(bad, factor, 1.0))
-  mu_next = jnp.clip(mu * scale, MIN_REGULARIZATION, MAX_REGULARIZATION)
+  mu_next = jnp.clip(mu * _reg_update(state, surprise, action_step),
+                     MIN_REGULARIZATION, MAX_REGULARIZATION)
 
   new_state = ILQGState(
       policy=new_policy, regularization=mu_next,
-      regularization_factor=factor, previous_return=rets[winner])
+      regularization_factor=state.regularization_factor,
+      previous_return=rets[winner], expected_dv=dv)
   info = {
       'best_return': rets[winner],
       'nominal_return': prev_ret,

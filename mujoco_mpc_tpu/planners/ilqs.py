@@ -105,8 +105,12 @@ def optimize(spec: TaskSpec, state: ILQSState, d0: Data, params: TaskParams,
       seeded_ilqg_state(), state.ilqg_state)
 
   def run_ilqg(_):
+    # eager order: iLQS's arbitration compares the improvement applied
+    # WITHIN this call against sampling's (ilqs/planner.cc:87-240), so
+    # the pipelined apply-previous/compute-next split does not fit here
     st, info = ilqg.optimize(spec, ilqg_seed, d0, params, icfg,
-                             num_ilqg_candidates, horizon_steps)
+                             num_ilqg_candidates, horizon_steps,
+                             pipelined=False)
     better = info['best_return'] < info_s['best_return']
     return st, info['best_return'], better
 
