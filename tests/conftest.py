@@ -27,6 +27,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# `gate` tier: the 1-core-verifiable CI subset (pytest -m gate).
+# Whole files or single node ids; must stay <= ~10 min on ONE CPU core
+# (measured round 5: ~4 min, see pytest.ini). Includes at least one
+# contact-physics oracle test (vs the MuJoCo C engine) and one
+# planner-improvement test alongside the numeric-parity files.
+# ---------------------------------------------------------------------------
+GATE_FILES = {
+    'test_norms.py', 'test_spline.py', 'test_banded.py', 'test_ilqg.py',
+}
+GATE_NODES = {
+    # contact oracle: narrowphase+solver qacc/trajectory vs mujoco C
+    'test_contacts.py::test_contact_qacc',
+    'test_contacts.py::test_contact_trajectory',
+    # planner improvement: predictive sampling lowers the return
+    'test_planner.py::test_optimize_improves_return',
+    'test_planner.py::test_nominal_is_candidate_zero',
+}
+
+
+def pytest_collection_modifyitems(items):
+  for item in items:
+    fname = os.path.basename(str(item.fspath))
+    base_id = f'{fname}::{item.originalname or item.name}'
+    if (fname in GATE_FILES or base_id in GATE_NODES) \
+       and 'slow' not in item.keywords:
+      item.add_marker(pytest.mark.gate)
+
 
 @pytest.fixture(autouse=True, scope='module')
 def _clear_jax_caches_per_module():
