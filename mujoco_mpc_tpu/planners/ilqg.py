@@ -210,12 +210,13 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
     if action_limits:
       lower = ctrlrange[:, 0] - ut
       upper = ctrlrange[:, 1] - ut
-      # 4 active-set rounds: the projected-Newton boxQP converges in
-      # ~nu/2 rounds on these small (nu<=8) problems, and each round is
-      # a solve+linesearch INSIDE the sequential T-step scan — 8 rounds
-      # made boxQP 80% of the backward pass (measured: swimmer riccati
-      # 49.9 ms with limits vs 10.5 without; docs/PERF.md round 4)
-      du, free, qp_ok = boxqp(quu_reg, qu, lower, upper, iterations=4)
+      # active-set rounds scale with nu: the projected-Newton boxQP
+      # converges in ~nu/2 rounds on these small (nu<=8) problems, and
+      # each round is a solve+linesearch INSIDE the sequential T-step
+      # scan — 8 rounds made boxQP 80% of the backward pass (measured:
+      # swimmer riccati 49.9 ms with limits vs 10.5 without; PERF.md r4)
+      du, free, qp_ok = boxqp(quu_reg, qu, lower, upper,
+                              iterations=min(4, max(2, nu)))
       fm = free.astype(a.dtype)
       hm = (quu_reg * jnp.outer(fm, fm)) + eye_u * (1.0 - fm)
       # K = -H_free^{-1} Qxu_free' with clamped rows zero; chol_solve solves
@@ -252,7 +253,7 @@ def riccati(derivs: derivatives.Derivatives, mu: jax.Array,
   (vx, vxx, dv0, dv1, ok), (k, gain) = jax.lax.scan(
       step, init,
       (a, b, cx[:-1], cu[:-1], cxx[:-1], cxu[:-1], cuu[:-1], actions[:-1]),
-      reverse=True, unroll=8 if nd <= 20 else 1)
+      reverse=True, unroll=16 if nd <= 8 else (8 if nd <= 20 else 1))
 
   # copy last step (reference planner.cc:493-506)
   k = jnp.concatenate([k, k[-1:]], axis=0)
@@ -299,7 +300,8 @@ def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
   # the batch-1 nominal rollout is pure dispatch latency — unrolling lets
   # XLA fuse elementwise chains across steps
   _, (actions, residuals, qpos, qvel, act, times) = jax.lax.scan(
-      body, d0, jnp.arange(horizon_steps), unroll=4 if m.nv <= 8 else 1)
+      body, d0, jnp.arange(horizon_steps),
+      unroll=8 if m.nv <= 4 else (4 if m.nv <= 8 else 1))
   costs = spec.cost(residuals, params)
   ret = rollout_mod.total_return(costs)
   return ret, actions, qpos, qvel, act, times, residuals, costs
