@@ -485,12 +485,14 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       pairs.append((g1o, g2o))
 
   # tendons. Fixed (joint-wrap) tendons are constant joint-space maps;
-  # spatial tendons are site-waypoint paths with optional pulley branch
-  # divisors (mj_tendon semantics) — their static wrap plan is recorded
-  # in ten_spatial as ((divisor, (site ids...)), ...) per branch and the
-  # state-dependent length/Jacobian is computed in smooth.tendon after
-  # kinematics. Geom wrapping (sphere/cylinder wrap surfaces) is not
-  # supported.
+  # spatial tendons are paths over site waypoints and sphere/cylinder
+  # wrap surfaces with optional pulley branch divisors (mj_tendon
+  # semantics) — their static wrap plan is recorded in ten_spatial as
+  # ((divisor, (elements...)), ...) per branch, each element ('s', site)
+  # or ('g', geom, kind, sidesite) with kind 0=sphere 1=cylinder and
+  # sidesite -1 when absent; the state-dependent length/Jacobian is
+  # computed in smooth.tendon after kinematics (wrap tangent geometry in
+  # smooth._wrap_geom).
   ten_moment = np.zeros((mj.ntendon, mj.nv))
   ten_qmat = np.zeros((mj.ntendon, mj.nq))
   ten_spatial = []
@@ -506,21 +508,27 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       ten_spatial.append(())
       continue
     branches = []
-    divisor, sites = 1.0, []
+    divisor, elems = 1.0, []
     for w in range(adr, adr + num):
       wt = int(mj.wrap_type[w])
       if wt == int(mujoco.mjtWrap.mjWRAP_SITE):
-        sites.append(int(mj.wrap_objid[w]))
+        elems.append(('s', int(mj.wrap_objid[w])))
+      elif wt in (int(mujoco.mjtWrap.mjWRAP_SPHERE),
+                  int(mujoco.mjtWrap.mjWRAP_CYLINDER)):
+        kind = 0 if wt == int(mujoco.mjtWrap.mjWRAP_SPHERE) else 1
+        elems.append(('g', int(mj.wrap_objid[w]), kind,
+                      int(round(float(mj.wrap_prm[w])))
+                      if mj.wrap_prm[w] >= 0 else -1))
       elif wt == int(mujoco.mjtWrap.mjWRAP_PULLEY):
-        if len(sites) >= 2:
-          branches.append((divisor, tuple(sites)))
-        divisor, sites = float(mj.wrap_prm[w]), []
+        if len(elems) >= 2:
+          branches.append((divisor, tuple(elems)))
+        divisor, elems = float(mj.wrap_prm[w]), []
       else:
         raise NotImplementedError(
-            f'tendon {ti} uses wrap type {wt} (sphere/cylinder geom '
-            'wrapping); only joint, site and pulley wraps are supported')
-    if len(sites) >= 2:
-      branches.append((divisor, tuple(sites)))
+            f'tendon {ti} uses wrap type {wt}; only joint, site, '
+            'sphere/cylinder geom and pulley wraps are supported')
+    if len(elems) >= 2:
+      branches.append((divisor, tuple(elems)))
     ten_spatial.append(tuple(branches))
   # spatial tendons may not participate in tendon-coupling equalities
   # (their residual closure evaluates lengths via the constant qmat)

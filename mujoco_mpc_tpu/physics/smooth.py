@@ -72,15 +72,144 @@ def rne(m: Model, d: Data) -> Data:
   return d.replace(qfrc_bias=qfrc_bias)
 
 
+def _wrap_2d(a2, b2, r, side2, has_side, dtype):
+  """Circle wrap in 2D (mju_wrap's core): tangent path from a2 around the
+  radius-r circle at the origin to b2.
+
+  Returns (t0, t1, arc_len, wrapped): the two tangent touch points, the
+  arc length between them, and whether the path wraps at all. With a
+  sidesite the tendon is constrained to pass on its side: the path
+  wraps whenever the straight chord intersects the circle OR passes on
+  the opposite side of the center from the sidesite (and always when
+  the sidesite is inside the geom); the arc is taken on the sidesite's
+  side. Without one, wrap requires chord-circle intersection and takes
+  the shorter arc. No wrap when an endpoint is inside the circle
+  (tangency undefined)."""
+  eps = 1e-12
+  da = jnp.linalg.norm(a2)
+  db = jnp.linalg.norm(b2)
+  # chord-circle clearance (closest point of segment a->b to origin)
+  ab = b2 - a2
+  denom = jnp.maximum(ab @ ab, eps)
+  tstar = jnp.clip(-(a2 @ ab) / denom, 0.0, 1.0)
+  foot = a2 + tstar * ab
+  dmin = jnp.linalg.norm(foot)
+  # sidesite inside the geom forces permanent wrap (MuJoCo semantics)
+  force = jnp.logical_and(has_side, jnp.linalg.norm(side2) < r)
+  # chord passing opposite the sidesite violates the side constraint
+  off_side = jnp.logical_and(has_side, (foot @ side2) < 0.0)
+  wrapped = jnp.logical_and(
+      jnp.logical_and(da > r * (1.0 + 1e-9), db > r * (1.0 + 1e-9)),
+      jnp.logical_or(dmin < r, jnp.logical_or(force, off_side)))
+
+  alpha_a = jnp.arctan2(a2[1], a2[0])
+  alpha_b = jnp.arctan2(b2[1], b2[0])
+  ha = jnp.arccos(jnp.clip(r / jnp.maximum(da, r + eps), 0.0, 1.0))
+  hb = jnp.arccos(jnp.clip(r / jnp.maximum(db, r + eps), 0.0, 1.0))
+
+  def arc_for(sgn):
+    th_a = alpha_a + sgn * ha          # touch point leaving a
+    th_b = alpha_b - sgn * hb          # touch point arriving at b
+    delta = jnp.mod(sgn * (th_b - th_a), 2.0 * jnp.pi)
+    return th_a, th_b, delta
+
+  th_a_p, th_b_p, d_p = arc_for(jnp.asarray(1.0, dtype))
+  th_a_m, th_b_m, d_m = arc_for(jnp.asarray(-1.0, dtype))
+
+  def touch_score(th_a, th_b, sn):
+    """Alignment of the two tangent touch points with the sidesite."""
+    return (jnp.cos(th_a) + jnp.cos(th_b)) * sn[0] + \
+        (jnp.sin(th_a) + jnp.sin(th_b)) * sn[1]
+
+  # side choice: the two candidate wraps touch the circle on opposite
+  # sides; with a sidesite pick the side whose TOUCH POINTS align with
+  # it (an arc-midpoint criterion ties when both midpoints coincide,
+  # which happens whenever the two arcs share a bisector), else the
+  # shorter arc
+  sn = side2 / jnp.maximum(jnp.linalg.norm(side2), eps)
+  use_p = jnp.where(
+      has_side,
+      touch_score(th_a_p, th_b_p, sn) >= touch_score(th_a_m, th_b_m, sn),
+      d_p <= d_m)
+  th_a = jnp.where(use_p, th_a_p, th_a_m)
+  th_b = jnp.where(use_p, th_b_p, th_b_m)
+  delta = jnp.where(use_p, d_p, d_m)
+  t0 = r * jnp.stack([jnp.cos(th_a), jnp.sin(th_a)])
+  t1 = r * jnp.stack([jnp.cos(th_b), jnp.sin(th_b)])
+  return t0, t1, r * delta, wrapped
+
+
+def _wrap_geom(m: Model, d: Data, x1, x2, g: int, kind: int, side: int):
+  """Tangent points + arc length of the path x1 -> (wrap geom g) -> x2
+  (analog: mju_wrap). Returns (t1_w, t2_w, arc, wrapped) in world frame;
+  when not wrapped the caller's straight-segment fallback applies."""
+  dtype = x1.dtype
+  gpos, gmat = d.geom_xpos[g], d.geom_xmat[g]
+  r = m.geom_size[g][0]
+  p1 = gmat.T @ (x1 - gpos)
+  p2 = gmat.T @ (x2 - gpos)
+  if side >= 0:
+    s_loc = gmat.T @ (d.site_xpos[side] - gpos)
+    has_side = jnp.asarray(True)
+  else:
+    s_loc = jnp.ones(3, dtype)
+    has_side = jnp.asarray(False)
+
+  if kind == 1:
+    # cylinder: wrap in the local xy-plane; z rides the developed
+    # (unrolled) surface, on which the path is a straight line
+    a2, b2 = p1[:2], p2[:2]
+    t0_2, t1_2, arc2, wrapped = _wrap_2d(a2, b2, r, s_loc[:2], has_side,
+                                         dtype)
+    la = jnp.linalg.norm(a2 - t0_2)
+    lb = jnp.linalg.norm(b2 - t1_2)
+    l2d = jnp.maximum(la + arc2 + lb, 1e-12)
+    dz = p2[2] - p1[2]
+    z0 = p1[2] + dz * la / l2d
+    z1 = p1[2] + dz * (la + arc2) / l2d
+    t0_l = jnp.concatenate([t0_2, z0[None]])
+    t1_l = jnp.concatenate([t1_2, z1[None]])
+    arc = jnp.sqrt(arc2 * arc2 + (z1 - z0) ** 2)
+  else:
+    # sphere: wrap in the plane through p1, p2 and the center; the
+    # sidesite defines the plane when p1 x p2 degenerates
+    n = jnp.cross(p1, p2)
+    n_side = jnp.cross(p1, s_loc)
+    use_alt = jnp.linalg.norm(n) < 1e-9
+    n = jnp.where(use_alt, jnp.where(jnp.linalg.norm(n_side) > 1e-9,
+                                     n_side, jnp.asarray([0., 0., 1.],
+                                                         dtype)), n)
+    ez = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+    ex = p1 - (p1 @ ez) * ez
+    ex = ex / jnp.maximum(jnp.linalg.norm(ex), 1e-12)
+    ey = jnp.cross(ez, ex)
+    to2 = lambda p: jnp.stack([p @ ex, p @ ey])
+    a2, b2 = to2(p1), to2(p2)
+    t0_2, t1_2, arc, wrapped = _wrap_2d(a2, b2, r, to2(s_loc), has_side,
+                                        dtype)
+    t0_l = t0_2[0] * ex + t0_2[1] * ey
+    t1_l = t1_2[0] * ex + t1_2[1] * ey
+  t0_w = gpos + gmat @ t0_l
+  t1_w = gpos + gmat @ t1_l
+  return t0_w, t1_w, arc, wrapped
+
+
 def tendon(m: Model, d: Data) -> Data:
   """Tendon lengths, velocities and moment rows (analog: mj_tendon).
 
   Fixed tendons are linear maps of joint coordinates (single matmuls
-  against constant model matrices). Spatial tendons are site-waypoint
-  paths: per branch with pulley divisor v, length += |x2-x1|/v and the
-  moment row += u^T (Jp2 - Jp1)/v with u the unit segment direction —
-  the analytic dL/dq (reference gets tendons from mj_step; Shadow-class
-  hand models use them for coupling and actuation)."""
+  against constant model matrices). Spatial tendons are paths over site
+  waypoints and sphere/cylinder wrap surfaces: per branch with pulley
+  divisor v, length += path_len/v and the moment row is the analytic
+  dL/dq — straight segments contribute u^T (Jp2 - Jp1)/v, and a wrap
+  contributes through its two tangent segments with the tangent points
+  attached to the wrap geom's body (the arc's own derivative vanishes:
+  tangency makes L stationary w.r.t. touch-point sliding, and the arc
+  between material touch points is invariant under rigid geom motion).
+  The no-wrap case degenerates exactly to the straight segment by
+  placing both tangent points at the segment midpoint. (Reference gets
+  tendons from mj_step; Shadow-class hand models use them for coupling
+  and actuation.)"""
   if m.ntendon == 0:
     return d
   if not any(m.ten_spatial):
@@ -99,17 +228,46 @@ def tendon(m: Model, d: Data) -> Data:
       continue
     ln_total = jnp.zeros((), dtype=dtype)
     jac = jnp.zeros(m.nv, dtype=dtype)
-    for divisor, sites in branches:
+    for divisor, elems in branches:
       inv = 1.0 / divisor
-      for s1, s2 in zip(sites[:-1], sites[1:]):
+      # walk site-to-site gaps, each optionally through one wrap geom
+      i = 0
+      while i + 1 < len(elems):
+        assert elems[i][0] == 's', 'tendon path must start gaps at a site'
+        s1 = elems[i][1]
+        if elems[i + 1][0] == 'g':
+          _, g, kind, sideid = elems[i + 1]
+          s2 = elems[i + 2][1]
+          i += 2
+        else:
+          g, kind, sideid = -1, 0, -1
+          s2 = elems[i + 1][1]
+          i += 1
         x1, x2 = d.site_xpos[s1], d.site_xpos[s2]
-        diff = x2 - x1
-        ln = jnp.linalg.norm(diff)
-        u = diff / jnp.maximum(ln, 1e-12)
         jp1, _ = _body_jac(m, d, m.site_bodyid[s1], x1)
         jp2, _ = _body_jac(m, d, m.site_bodyid[s2], x2)
-        ln_total = ln_total + ln * inv
-        jac = jac + ((jp2 - jp1) @ u) * inv
+        if g < 0:
+          diff = x2 - x1
+          ln = jnp.linalg.norm(diff)
+          u = diff / jnp.maximum(ln, 1e-12)
+          ln_total = ln_total + ln * inv
+          jac = jac + ((jp2 - jp1) @ u) * inv
+          continue
+        t1, t2, arc, wrapped = _wrap_geom(m, d, x1, x2, g, kind, sideid)
+        midpt = 0.5 * (x1 + x2)
+        t1 = jnp.where(wrapped, t1, midpt)
+        t2 = jnp.where(wrapped, t2, midpt)
+        arc = jnp.where(wrapped, arc, 0.0)
+        d1 = t1 - x1
+        d2 = x2 - t2
+        l1 = jnp.linalg.norm(d1)
+        l2 = jnp.linalg.norm(d2)
+        u1 = d1 / jnp.maximum(l1, 1e-12)
+        u2 = d2 / jnp.maximum(l2, 1e-12)
+        jg1, _ = _body_jac(m, d, m.geom_bodyid[g], t1)
+        jg2, _ = _body_jac(m, d, m.geom_bodyid[g], t2)
+        ln_total = ln_total + (l1 + arc + l2) * inv
+        jac = jac + (((jg1 - jp1) @ u1) + ((jp2 - jg2) @ u2)) * inv
     lengths.append(ln_total)
     jacs.append(jac)
   ten_J = jnp.stack(jacs)

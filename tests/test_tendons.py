@@ -135,24 +135,91 @@ def test_tendon_actuator():
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
 
 
-def test_geom_wrap_tendon_rejected():
-  """Sphere/cylinder wrap surfaces are the one unsupported tendon
-  feature; they must fail loudly at compile."""
-  xml = """
-  <mujoco><worldbody>
-    <site name="a" pos="0 0 1"/>
-    <geom name="wrap" type="cylinder" size="0.05 0.2" pos="0 0 0.75"
+# geom-wrap tendons (sphere/cylinder wrap surfaces, mju_wrap semantics):
+# a hinged arm whose tendon runs from a world anchor over a wrap geom to
+# the arm tip; sweeping the hinge exercises no-wrap, tangent-engage and
+# deep-wrap configurations
+WRAP_CYL = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <site name="anchor" pos="-0.35 0 0.3"/>
+    <geom name="wg" type="cylinder" size="0.06 0.15" pos="0 0 0.3"
           euler="90 0 0" contype="0" conaffinity="0"/>
-    <body pos="0 0 0.5"><joint type="slide" axis="0 0 1"/>
-      <geom type="sphere" size="0.05" mass="1"/><site name="b"/></body>
+    <site name="side" pos="0 0 0.42"/>
+    <body pos="0.25 0 0.3">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.02"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="0.4"/>
+      <site name="tip" pos="0.3 0 0"/>
+    </body>
   </worldbody>
-  <tendon><spatial name="sp">
-    <site site="a"/><geom geom="wrap"/><site site="b"/>
-  </spatial></tendon>
-  </mujoco>"""
+  <tendon>
+    <spatial name="wt" stiffness="4.0" damping="0.1" springlength="0.5">
+      <site site="anchor"/>
+      <geom geom="wg" sidesite="side"/>
+      <site site="tip"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+# the sphere twin lifts the anchor off the center-tip line: on the
+# exactly-collinear configuration the geodesic plane is ambiguous (any
+# plane through the axis gives the same length) and the oracle's plane
+# pick there is an arbitrary implementation artifact; off the degenerate
+# manifold the wrap is unique and must match
+WRAP_SPHERE = WRAP_CYL.replace(
+    'type="cylinder" size="0.06 0.15"', 'type="sphere" size="0.06"'
+).replace('<site name="anchor" pos="-0.35 0 0.3"/>',
+          '<site name="anchor" pos="-0.35 0.02 0.33"/>')
+
+
+@pytest.mark.parametrize('xml', [WRAP_CYL, WRAP_SPHERE],
+                         ids=['cylinder', 'sphere'])
+def test_geom_wrap_length_and_moment(xml):
+  """Wrap length/moment vs the oracle across a hinge sweep spanning
+  no-wrap and wrapped configurations (mj_tendon + mju_wrap)."""
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match='wrap'):
-    put_model(mjm)
+  mjd = mujoco.MjData(mjm)
+  m = put_model(mjm, dtype=jnp.float64)
+  fw = jax.jit(fwd.forward)
+  wrapped_seen, straight_seen = 0, 0
+  for q in np.linspace(-1.2, 1.2, 9):
+    mjd.qpos[:] = [q]
+    mujoco.mj_forward(mjm, mjd)
+    d = make_data(m, dtype=jnp.float64)
+    d = fw(m, d.replace(qpos=jnp.asarray([q], jnp.float64)))
+    np.testing.assert_allclose(np.asarray(d.ten_length), mjd.ten_length,
+                               atol=1e-9, err_msg=f'qpos {q}')
+    np.testing.assert_allclose(np.asarray(d.ten_J).ravel(),
+                               np.asarray(mjd.ten_J).ravel(),
+                               atol=1e-8, err_msg=f'qpos {q}')
+    if mjd.ten_wrapnum[0] > 2:
+      wrapped_seen += 1
+    else:
+      straight_seen += 1
+  # the sweep must exercise both branches of the wrap
+  assert wrapped_seen >= 2 and straight_seen >= 2, (wrapped_seen,
+                                                    straight_seen)
+
+
+@pytest.mark.parametrize('xml', [WRAP_CYL, WRAP_SPHERE],
+                         ids=['cylinder', 'sphere'])
+def test_geom_wrap_spring_trajectory(xml):
+  """Spring-loaded wrap tendon drives the arm; trajectories match the
+  oracle through wrap engage/release transitions."""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[:] = [0.9]
+  m = put_model(mjm, dtype=jnp.float64)
+  d = make_data(m, dtype=jnp.float64)
+  d = d.replace(qpos=jnp.asarray([0.9], jnp.float64))
+  step = jax.jit(fwd.step)
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-5)
 
 
 SPATIAL = """
