@@ -202,6 +202,14 @@ def rubik3x3_xml(model_name: str, n_fingers: int = 4,
     <numeric name="sampling_spline_points" data="3"/>
     <numeric name="sampling_exploration" data="0.25"/>
     <numeric name="sampling_trajectories" data="128"/>
+    <!-- depth-cap the ~460 hand/floor/palm-vs-cubelet candidate points
+         (physics/constraint._capped_point_rows): only dozens can touch
+         at once; uncapped they materialize a (batch, ~1850, nv) facet
+         Jacobian inside the contact Newton loop -->
+    <numeric name="contact_point_cap" data="64"/>
+    <!-- cubelet-cubelet condim-1 rows: ~40-80 active during a layer
+         turn; 128 halves the dense block vs the 256 env default -->
+    <numeric name="contact_cap" data="128"/>
     <numeric name="residual_Red goal" data="0 -3.2 3.2"/>
     <numeric name="residual_Orange goal" data="0 -3.2 3.2"/>
     <numeric name="residual_Blue goal" data="0 -3.2 3.2"/>

@@ -717,15 +717,18 @@ def _hull_sig(m: Model, g: int):
 def contact_clusters(m: Model):
   """Static pair clusters for the batched narrowphase.
 
-  Returns (mm, sm, clustered): mm = list of mesh-mesh pair lists
-  (same hull signatures, condim 1 — eligible for dynamic top-k
-  selection); sm = list of sphere-mesh pair lists (same hull signature
-  and sphere handling, any condim); clustered = set of pairs covered.
+  Returns (mm, sm, pm, bm, clustered): mm = mesh-mesh pair lists (same
+  hull signatures, condim 1 — eligible for dynamic top-k selection);
+  sm / pm / bm = sphere-mesh / plane-mesh / box-mesh pair lists (same
+  hull signature and condim), each narrowphased as ONE vectorized
+  computation over the pair axis; clustered = set of pairs covered.
   Small groups stay on the unrolled per-pair path."""
   import collections as _c
   import numpy as np
   mm = _c.defaultdict(list)
   sm = _c.defaultdict(list)
+  pm = _c.defaultdict(list)
+  bm = _c.defaultdict(list)
   for (g1, g2) in m.collision_pairs:
     t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
     condim = int(max(m.geom_condim[g1], m.geom_condim[g2]))
@@ -737,11 +740,87 @@ def contact_clusters(m: Model):
       mm[(_hull_sig(m, g1), _hull_sig(m, g2))].append((g1, g2))
     elif t1 == int(GeomType.SPHERE) and t2 == int(GeomType.MESH):
       sm[(_hull_sig(m, g2), condim)].append((g1, g2))
+    elif t1 == int(GeomType.PLANE) and t2 == int(GeomType.MESH):
+      pm[(_hull_sig(m, g2), condim)].append((g1, g2))
+    elif t1 == int(GeomType.BOX) and t2 == int(GeomType.MESH):
+      bm[(_hull_sig(m, g2), condim)].append((g1, g2))
   mm = [v for v in mm.values() if len(v) >= 8]
   sm = [v for v in sm.values() if len(v) >= 4]
-  clustered = set(p for cl in mm for p in cl) | set(
-      p for cl in sm for p in cl)
-  return mm, sm, clustered
+  pm = [v for v in pm.values() if len(v) >= 4]
+  bm = [v for v in bm.values() if len(v) >= 4]
+  clustered = set()
+  for cls in (mm, sm, pm, bm):
+    clustered |= set(p for cl in cls for p in cl)
+  return mm, sm, pm, bm, clustered
+
+
+def plane_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
+  """Vectorized _plane_mesh over same-hull-shape pairs: the k deepest
+  hull vertices below each pair's plane. Returns (dist (K*k,),
+  pos (K*k, 3), normal (K*k, 3)), normals g1(plane) -> g2(mesh)."""
+  import numpy as np
+  g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
+  vw, _, _ = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  pp = d.geom_xpos[g1s]                              # (K, 3)
+  pn = d.geom_xmat[g1s][:, :, 2]                     # (K, 3)
+  dist = jnp.einsum('kve,ke->kv', vw - pp[:, None, :], pn)
+  neg_top, idx = jax.lax.top_k(-dist, min(k, vw.shape[1]))
+  dsel = -neg_top                                    # (K, k)
+  v_iota = jnp.arange(vw.shape[1], dtype=jnp.int32)
+  oh = (idx[..., None] == v_iota[None, None, :]).astype(vw.dtype)
+  vsel = jnp.einsum('kiv,kve->kie', oh, vw)          # (K, k, 3)
+  pos = vsel - 0.5 * dsel[..., None] * pn[:, None, :]
+  normal = jnp.broadcast_to(pn[:, None, :], vsel.shape)
+  return dsel.reshape(-1), pos.reshape(-1, 3), normal.reshape(-1, 3)
+
+
+def box_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
+  """Vectorized _box_mesh over same-hull-shape pairs: per pair the k
+  deepest box corners in the hull plus the k deepest hull verts in the
+  box (one-hot selected, MXU-friendly). Returns (dist (K*2k,), pos,
+  normal), normals g1(box) -> g2(mesh)."""
+  import numpy as np
+  g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
+  vw, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  bp = d.geom_xpos[g1s]                              # (K, 3)
+  bmat = d.geom_xmat[g1s]                            # (K, 3, 3)
+  bsize = m.geom_size[g1s]                           # (K, 3)
+  dtype = vw.dtype
+  signs = jnp.asarray([[sx, sy, sz] for sx in (-1., 1.)
+                       for sy in (-1., 1.) for sz in (-1., 1.)], dtype)
+
+  def select(points, phi_n, phi_b, nsign):
+    """k deepest of `points` (K, P, 3) vs halfspaces (K, F, ...)."""
+    phi = jnp.einsum('kpe,kfe->kpf', points, phi_n) + phi_b[:, None, :]
+    depth = jnp.max(phi, axis=2)                     # (K, P)
+    oh_f = (phi >= depth[..., None]).astype(dtype)
+    oh_f = oh_f / jnp.maximum(jnp.sum(oh_f, axis=2, keepdims=True), 1.0)
+    normals = jnp.einsum('kpf,kfe->kpe', oh_f, phi_n)
+    kk = min(k, points.shape[1])
+    neg_top, idx = jax.lax.top_k(-depth, kk)
+    dsel = -neg_top
+    p_iota = jnp.arange(points.shape[1], dtype=jnp.int32)
+    oh = (idx[..., None] == p_iota[None, None, :]).astype(dtype)
+    psel = jnp.einsum('kip,kpe->kie', oh, points)
+    nsel = jnp.einsum('kip,kpe->kie', oh, normals)
+    nsel = nsel / jnp.maximum(
+        jnp.linalg.norm(nsel, axis=-1, keepdims=True), 1e-12)
+    pos = psel - 0.5 * dsel[..., None] * nsel
+    return (dsel.reshape(-1), pos.reshape(-1, 3),
+            (nsign * nsel).reshape(-1, 3))
+
+  # box corners into the hull (hull normal points hull->corner = g2->g1)
+  corners = bp[:, None, :] + jnp.einsum(
+      'kde,kpe->kpd', bmat, signs[None, :, :] * bsize[:, None, :])
+  d1, p1, n1 = select(corners, nw, bw, -1.0)
+  # hull verts into the box halfspaces (face normal box->vert = g1->g2)
+  box_n = jnp.concatenate([jnp.swapaxes(bmat, 1, 2),
+                           -jnp.swapaxes(bmat, 1, 2)], axis=1)  # (K,6,3)
+  centre = jnp.einsum('kfe,ke->kf', box_n, bp)
+  box_b = -centre - jnp.concatenate([bsize, bsize], axis=1)
+  d2, p2, n2 = select(vw, box_n, box_b, 1.0)
+  return (jnp.concatenate([d1, d2]), jnp.concatenate([p1, p2]),
+          jnp.concatenate([n1, n2]))
 
 
 def _hulls_world_batched(m: Model, d: Data, gs, sel=None):

@@ -482,10 +482,13 @@ class PointRows(NamedTuple):
   condim: int       # static
 
 
-def _contact_capacity(total: int) -> int:
+def _contact_capacity(m: Model, total: int) -> int:
   """Static cap on dynamically selected contact rows per condim-1
-  cluster (MJPC_TPU_CONTACT_CAP overrides; read at trace time)."""
+  cluster: the model's `contact_cap` custom numeric when set, else the
+  MJPC_TPU_CONTACT_CAP env default (read at trace time)."""
   import os
+  if m.contact_cap:
+    return min(m.contact_cap, total)
   cap = int(os.environ.get('MJPC_TPU_CONTACT_CAP', '256'))
   return min(cap, total)
 
@@ -535,29 +538,49 @@ def _contact_groups(m: Model, d: Data):
                     'solref', 'solimp', 'mu', 'invw', 'b1', 'b2')}
     return groups[c]
 
-  mm, sm, clustered = collision.contact_clusters(m)
+  mm, sm, pm, bm, clustered = collision.contact_clusters(m)
 
-  for cl in sm:
-    pairs = cl
+  def _append_cluster(pairs, dist, pos, normal, points_per_pair):
+    """Stack one batched-narrowphase cluster's points into its condim
+    group, repeating per-pair params per emitted point (pair-major
+    order, matching the narrowphase reshape)."""
     condim = collision.pair_params(m, *pairs[0]).condim
     if condim not in (1, 3, 4, 6):
       raise NotImplementedError(f'contact condim {condim}')
-    dist, pos, normal = collision.sphere_mesh_batched(m, d, pairs)
     pp = _pair_param_arrays(m, pairs, dtype)
     g = _group(condim)
     g['pos3'].append(pos)
     g['normal'].append(normal)
     g['tangent'].append(jnp.zeros_like(normal))
     g['dist'].append(dist)
-    for key in ('margin', 'solref', 'solimp', 'mu', 'invw', 'b1', 'b2'):
-      g[key].append(pp[key])
+    reps = points_per_pair
+    for key in ('margin', 'solref', 'solimp', 'mu', 'invw'):
+      v = pp[key]
+      g[key].append(jnp.repeat(v, reps, axis=0) if reps > 1 else v)
+    for key in ('b1', 'b2'):
+      v = pp[key]
+      g[key].append(np.repeat(v, reps) if reps > 1 else v)
+
+  for cl in sm:
+    dist, pos, normal = collision.sphere_mesh_batched(m, d, cl)
+    _append_cluster(cl, dist, pos, normal, 1)
+  for cl in pm:
+    dist, pos, normal = collision.plane_mesh_batched(m, d, cl)
+    _append_cluster(cl, dist, pos, normal, 4)
+  for cl in bm:
+    # box_mesh_batched emits two pair-major halves (corners-in-hull,
+    # verts-in-box); params repeat within each half
+    dist, pos, normal = collision.box_mesh_batched(m, d, cl)
+    half = dist.shape[0] // 2
+    for sl in (slice(0, half), slice(half, None)):
+      _append_cluster(cl, dist[sl], pos[sl], normal[sl], 4)
 
   dyn = []
   for cl in mm:
     dist, pos, normal, pair_idx = collision.mesh_mesh_batched(m, d, cl)
     pp = _pair_param_arrays(m, cl, dtype)
     margin_pt = pp['margin'][pair_idx]
-    cap = _contact_capacity(dist.shape[0])
+    cap = _contact_capacity(m, dist.shape[0])
     # keep the `cap` deepest candidates: every physically active contact
     # survives as long as <= cap are active at once; the rest are
     # inactive (dist > margin) rows the solver would zero anyway
@@ -779,9 +802,94 @@ def dof_anchored_axes(m: Model, d: Data) -> jax.Array:
   return jnp.concatenate([ang, lin], axis=-1)
 
 
-def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
+def _capped_point_rows(m: Model, d: Data, s, condim: int, cap: int,
+                       a_body: np.ndarray) -> Rows:
+  """Dense facet rows for the `cap` deepest points of a stacked condim
+  group (traced top-k selection; body indices become traced gathers).
+
+  Many-candidate models (the hand+cube 'Cube Solving' task stacks ~460
+  condim-3 candidate points: 130 fingertip-sphere x cubelet, 104 floor x
+  cubelet, 208 palm x cubelet, ...) would otherwise materialize a
+  (batch, ~1850, nv) facet Jacobian inside the Newton loop — 372 MB at
+  512 samples on the round-4 profile — while only dozens of points can
+  physically touch at once. Selection by penetration depth keeps every
+  active contact as long as <= cap are active; the dropped rows are
+  inactive (dist > margin) rows the solver would zero anyway. The
+  reference's collision stage prunes to active contacts dynamically on
+  CPU (engine_collision_driver.c); this is the static-shape analog."""
+  from mujoco_mpc_tpu.physics import collision
+
+  dtype = d.qpos.dtype
+  pos_all = s.dist - s.margin
+  _, sel = jax.lax.top_k(-pos_all, cap)
+  pos3, normal = s.pos3[sel], s.normal[sel]
+  tan_hint = s.tangent[sel]
+  dist, margin = s.dist[sel], s.margin[sel]
+  solref, solimp = s.solref[sel], s.solimp[sel]
+  mu, invw = s.mu[sel], s.invw[sel]
+  b1 = jnp.asarray(s.b1, dtype=jnp.int32)[sel]
+  b2 = jnp.asarray(s.b2, dtype=jnp.int32)[sel]
+
+  pos = dist - margin
+  k, b, imp = kbi(solref, solimp, pos)
+  if condim == 1:
+    dapprox = invw
+  else:
+    dapprox = invw * 2.0 * mu[:, 0] ** 2 * (1.0 + mu[:, 0] ** 2)
+
+  a_body_j = jnp.asarray(a_body, dtype=dtype)
+  rootid_j = jnp.asarray(np.asarray(m.body_rootid, dtype=np.int32))
+
+  def batch_jac(bodies):
+    off = pos3 - d.subtree_com[rootid_j[bodies]]     # (cap, 3)
+    jp = (d.cdof[None, :, 3:]
+          + jnp.cross(d.cdof[None, :, :3], off[:, None, :]))
+    mask = a_body_j[bodies][:, :, None]
+    return jp * mask, d.cdof[None, :, :3] * mask     # (cap, nv, 3)
+
+  jp1, jr1 = batch_jac(b1)
+  jp2, jr2 = batch_jac(b2)
+  jp = jp2 - jp1
+  jn = jnp.einsum('pns,ps->pn', jp, normal)          # (cap, nv)
+
+  t1, t2 = collision._make_frames(normal, tan_hint)
+  if condim == 1:
+    jmat, nrep = jn, 1
+  else:
+    mus = mu[:, 0:1]
+    jt1 = jnp.einsum('pns,ps->pn', jp, t1)
+    jt2 = jnp.einsum('pns,ps->pn', jp, t2)
+    facets = [jn + mus * jt1, jn - mus * jt1,
+              jn + mus * jt2, jn - mus * jt2]
+    if condim >= 4:
+      jr = jr2 - jr1
+      mut = mu[:, 1:2]
+      jrn = jnp.einsum('pns,ps->pn', jr, normal)
+      facets += [jn + mut * jrn, jn - mut * jrn]
+      if condim == 6:
+        mur = mu[:, 2:3]
+        jrt1 = jnp.einsum('pns,ps->pn', jr, t1)
+        jrt2 = jnp.einsum('pns,ps->pn', jr, t2)
+        facets += [jn + mur * jrt1, jn - mur * jrt1,
+                   jn + mur * jrt2, jn - mur * jrt2]
+    jmat = jnp.concatenate(facets)
+    nrep = len(facets)
+
+  posr = jnp.tile(pos, nrep)
+  vel = jmat @ d.qvel
+  return Rows(
+      jmat, posr, jnp.tile(margin, nrep),
+      -jnp.tile(b, nrep) * vel - jnp.tile(k * imp, nrep) * posr,
+      jnp.tile(imp / (1.0 - imp) / jnp.maximum(dapprox, 1e-12), nrep),
+      posr < 0.0, jnp.zeros_like(posr, dtype=bool))
+
+
+def contact_point_groups(m: Model, d: Data):
   """Pyramidal contacts in factored point-direction form, one PointRows
   per condim group (see PointRows; the dense twin is contact_blocks).
+  Returns (groups, capped_rows): groups whose point count exceeds
+  m.contact_point_cap (when set) are depth-capped and emitted as dense
+  facet rows instead (see _capped_point_rows).
 
   Nothing nv-sized is materialized per contact here: direction rows are
   the rank-6 factors G = [pos3 x dir, dir] against the shared dof axes
@@ -792,7 +900,7 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
   from mujoco_mpc_tpu.physics import collision, structure
 
   if not m.collision_pairs:
-    return []
+    return [], None
   dtype = d.qpos.dtype
   groups, _ = _contact_groups(m, d)
 
@@ -801,10 +909,15 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
   cdofc = dof_anchored_axes(m, d)
 
   out = []
+  capped = []
   for condim, g in groups.items():
     if g is None:
       continue
     s = _Stacked(g)
+    cap = m.contact_point_cap
+    if cap and s.dist.shape[0] > cap:
+      capped.append(_capped_point_rows(m, d, s, condim, cap, a_body))
+      continue
     pos3, normal, tan_hint = s.pos3, s.normal, s.tangent
     dist, margin = s.dist, s.margin
     solref, solimp, mu, invw = s.solref, s.solimp, s.mu, s.invw
@@ -848,7 +961,7 @@ def contact_point_groups(m: Model, d: Data) -> list[PointRows]:
          for (di, col, sgn) in facets])              # (nrep, P)
     out.append(PointRows(g=gfac, cdofc=cdofc, dmask=dmask, aref=aref,
                          dvec=dvec, mu=mu.T, condim=condim))
-  return out
+  return out, (_concat_rows(capped) if capped else None)
 
 
 def point_rows_jd(pr: PointRows) -> jax.Array:
@@ -1103,6 +1216,7 @@ def make_rows_split(m: Model, d: Data):
   <option cone="elliptic"/> the condim>1 contacts move to grouped cone
   rows (condim-1 contacts stay one-sided dense rows)."""
   points: list[PointRows] = []
+  capped = None
   dyn_contact = _dyn_contact_rows(m, d)
   if m.opt.cone == 1:
     contact = _concat_rows(
@@ -1112,10 +1226,10 @@ def make_rows_split(m: Model, d: Data):
     cone = cone_blk.rows if cone_blk is not None else None
   else:
     contact = None
-    points = contact_point_groups(m, d)
+    points, capped = contact_point_groups(m, d)
     cone = None
   dense = _concat_rows([_equality_rows(m, d), _tendon_limit_rows(m, d),
-                        contact, dyn_contact])
+                        contact, dyn_contact, capped])
   return dense, _limit_rows_scalar(m, d), cone, _friction_rows(m, d), \
       points
 

@@ -148,6 +148,17 @@ class Model:
   geom_priority: Tuple[int, ...] = _static(())
   # static candidate collision pairs (geom1, geom2), prefiltered
   collision_pairs: Tuple[Tuple[int, int], ...] = _static(())
+  # static cap on pyramidal contact POINTS per condim group (custom
+  # numeric `contact_point_cap`; 0 = uncapped). Groups above the cap
+  # keep only the cap deepest candidate points per step (traced top-k)
+  # and enter the solver as dense facet rows — many-candidate hand+cube
+  # models carry hundreds of candidate points of which only dozens can
+  # physically touch (constraint._capped_point_rows)
+  contact_point_cap: int = _static(0)
+  # per-model override of the condim-1 dynamic-cluster row cap (custom
+  # numeric `contact_cap`; 0 = the MJPC_TPU_CONTACT_CAP env default,
+  # constraint._contact_capacity)
+  contact_cap: int = _static(0)
   site_bodyid: Tuple[int, ...] = _static(())
   site_type: Tuple[int, ...] = _static(())    # mjtGeom (touch-sensor zones)
   tendon_limited: Tuple[int, ...] = _static(())
@@ -642,7 +653,20 @@ def put_model(mj, dtype=jnp.float32, strict_sensors: bool = True) -> Model:
       noslip_iterations=int(mj.opt.noslip_iterations),
   )
 
+  # contact-point cap from the model's custom numerics (config system
+  # convention, SURVEY 5.6; 0 = uncapped)
+  point_cap, dyn_cap = 0, 0
+  for ni in range(mj.nnumeric):
+    adr = mj.name_numericadr[ni]
+    name = mj.names[adr:mj.names.find(b'\x00', adr)].decode()
+    if name == 'contact_point_cap':
+      point_cap = int(mj.numeric_data[mj.numeric_adr[ni]])
+    elif name == 'contact_cap':
+      dyn_cap = int(mj.numeric_data[mj.numeric_adr[ni]])
+
   return Model(
+      contact_point_cap=point_cap,
+      contact_cap=dyn_cap,
       nq=mj.nq, nv=mj.nv, nu=mj.nu, na=mj.na, nbody=mj.nbody, njnt=mj.njnt,
       ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap, ntendon=mj.ntendon,
       neq=0 if equality_disabled else mj.neq,

@@ -283,3 +283,62 @@ def test_rolling_friction_condim6_long_horizon():
   qvel0 = [1.5, 0, 0, 0, 15.0, 0]           # rolling forward
   m, d, mjm, mjd = _traj_check(xml, qpos0, qvel0, 400, atol=8e-3)
   assert mjd.qpos[0] > 0.4                  # it rolled
+
+
+def test_clustered_narrowphase_matches_unrolled():
+  """The batched same-hull cluster narrowphase (plane-mesh, box-mesh,
+  sphere-mesh; collision.contact_clusters) must produce the same
+  dynamics as the unrolled per-pair path it replaces."""
+  import mujoco
+  from mujoco_mpc_tpu.physics import collision as coll
+  from mujoco_mpc_tpu.physics import forward as fwd
+  from mujoco_mpc_tpu.physics.model import make_data, put_model
+
+  balls = '\n'.join(f"""
+    <body pos="{0.05*i - 0.1} {0.02*(i%3)} {0.035 + 0.012*i}">
+      <freejoint/>
+      <geom type="mesh" mesh="cubelet" mass="0.1" condim="3"/>
+    </body>""" for i in range(6))
+  spheres = '\n'.join(f"""
+    <body pos="{0.06*i - 0.1} -0.08 0.05">
+      <freejoint/>
+      <geom type="sphere" size="0.02" mass="0.05" condim="3"/>
+    </body>""" for i in range(4))
+  xml = f"""
+  <mujoco>
+    <option timestep="0.002"/>
+    <asset><mesh name="cubelet" vertex="{_chamfered(0.018, 0.005)}"/></asset>
+    <worldbody>
+      <geom name="floor" type="plane" size="2 2 0.1"/>
+      <geom name="slab" type="box" size="0.3 0.3 0.01" pos="0 0 -0.01"
+            contype="1" conaffinity="1"/>
+      {balls}
+      {spheres}
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = put_model(mjm, dtype=jnp.float64)
+  d0 = make_data(m, dtype=jnp.float64)
+  rng = np.random.default_rng(4)
+  qv = jnp.asarray(0.3 * rng.standard_normal(m.nv), jnp.float64)
+  d0 = d0.replace(qvel=qv)
+
+  # clustered (production) qacc
+  d_c = fwd.forward(m, d0)
+
+  # unrolled reference: same model with clustering disabled
+  orig = coll.contact_clusters
+  try:
+    coll.contact_clusters = lambda mm: ([], [], [], [], set())
+    jax.clear_caches()
+    d_u = fwd.forward(m, d0)
+  finally:
+    coll.contact_clusters = orig
+    jax.clear_caches()
+  np.testing.assert_allclose(np.asarray(d_c.qacc), np.asarray(d_u.qacc),
+                             rtol=1e-9, atol=1e-9)
+
+
+def _chamfered(half, cham):
+  from mujoco_mpc_tpu.models.hands import _chamfered_cube_vertices
+  return _chamfered_cube_vertices(half, cham)
