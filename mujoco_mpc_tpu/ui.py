@@ -58,17 +58,24 @@ class ControlPanel:
           self._send(json.dumps(panel.state()).encode())
         elif self.path == '/api/plots':
           self._send(json.dumps(panel.plots()).encode())
+        elif self.path == '/api/scene':
+          self._send(json.dumps(panel.scene()).encode())
+        elif self.path == '/api/frame':
+          self._send(json.dumps(panel.frame()).encode())
         else:
           self._send(b'{"error": "not found"}', code=404)
 
       def do_POST(self):
-        if self.path != '/api/set':
-          self._send(b'{"error": "not found"}', code=404)
-          return
         n = int(self.headers.get('Content-Length', 0))
         try:
           req = json.loads(self.rfile.read(n) or b'{}')
-          panel.apply(req)
+          if self.path == '/api/set':
+            panel.apply(req)
+          elif self.path == '/api/perturb':
+            panel.perturb(req)
+          else:
+            self._send(b'{"error": "not found"}', code=404)
+            return
           self._send(b'{"ok": true}')
         except Exception as e:  # surface the error to the page
           self._send(json.dumps({'error': str(e)}).encode(), code=400)
@@ -126,6 +133,61 @@ class ControlPanel:
     p = self.app.agent.plots()
     p['term_names'] = list(self.app.spec.term_names)
     return p
+
+  def scene(self):
+    """Static scene description for the in-browser 3D view.
+
+    The reference renders the scene with GLFW/OpenGL inside Simulate
+    (simulate.cc); a TPU serving host is headless, so geometry ships
+    once as JSON and the page draws it with a painter's-algorithm SVG
+    projection (mesh geoms as their collision convex hulls from
+    physics/model.py — the same hulls the narrowphase uses)."""
+    mjm = self.app.spec.mj_model
+    model = self.app.spec.model
+    geoms = []
+    for g in range(mjm.ngeom):
+      rgba = [round(float(x), 3) for x in mjm.geom_rgba[g]]
+      entry = {
+          'type': int(mjm.geom_type[g]),
+          'size': [round(float(x), 5) for x in mjm.geom_size[g]],
+          'rgba': rgba,
+          'body': int(mjm.geom_bodyid[g]),
+      }
+      hull = (model.geom_mesh or {}).get(g)
+      if hull is not None and int(mjm.geom_type[g]) == 7:  # mjGEOM_MESH
+        entry['hull'] = np.round(np.asarray(hull[0], dtype=np.float64),
+                                 5).tolist()
+      geoms.append(entry)
+    return {'geoms': geoms,
+            'body_names': [mjm.body(i).name for i in range(mjm.nbody)]}
+
+  def frame(self):
+    """Per-tick geom world poses from the live sim Data (the kinematics
+    the physics step already computed — one small device readback)."""
+    app = self.app
+    with app._state_lock:
+      d = app.agent.sim_data
+      pos = np.asarray(d.geom_xpos, dtype=np.float64)
+      mat = np.asarray(d.geom_xmat, dtype=np.float64)
+      t = float(app.agent._host_time)
+    return {'t': None if not np.isfinite(t) else t,
+            'pos': np.round(pos, 5).tolist(),
+            'mat': np.round(mat.reshape(len(pos), 9), 5).tolist()}
+
+  def perturb(self, req: dict):
+    """Drag-perturbation: apply a world-frame force to one body until
+    cleared (reference: simulate.cc perturbation UI ->
+    mjv_applyPerturbForce; here the wrench lands in xfrc_applied, which
+    rollouts and the sim step both consume)."""
+    app = self.app
+    body = int(req.get('body', -1))
+    d = app.agent.sim_data
+    xfrc = np.zeros((len(np.asarray(d.xfrc_applied)), 6))
+    if body >= 0:
+      f = [float(x) for x in req.get('force', [0.0, 0.0, 0.0])]
+      xfrc[body, :3] = f
+    with app._state_lock:
+      app.agent.set_state(xfrc_applied=xfrc)
 
   def apply(self, req: dict):
     app, agent = self.app, self.app.agent
@@ -258,6 +320,21 @@ table.data th:first-child, table.data td:first-child { text-align: left; }
       style="width:64px"></label>
   <button class="primary" id="planBtn">Pause planning</button>
   <span class="err" id="err"></span>
+</div>
+
+<div class="row">
+  <div class="card" style="flex:1 1 100%">
+    <figcaption>Scene
+      <span style="font-weight:400;color:var(--text-muted);font-size:12px">
+        drag orbit · wheel zoom · shift-drag a body to perturb</span>
+    </figcaption>
+    <div class="chart-wrap">
+      <svg id="scene" viewBox="0 0 760 420" style="width:100%;
+        background:var(--surface-2);border-radius:6px;cursor:grab"></svg>
+      <div id="sceneSel" style="position:absolute;left:8px;top:6px;
+        font-size:12px;color:var(--text-secondary)"></div>
+    </div>
+  </div>
 </div>
 
 <div class="row">
@@ -438,6 +515,259 @@ function lineChart(card, title) {
   }
   return {update};
 }
+
+// ---- 3D scene: painter's-algorithm SVG projection with orbit camera ------
+// Redesign of the reference Simulate scene render (simulate.cc GLFW/OpenGL)
+// for a headless serving host: geometry arrives once via /api/scene, poses
+// stream via /api/frame, shift-drag posts a perturb wrench (/api/perturb)
+// exactly like the reference's mjv_applyPerturbForce drag.
+const scene3d = (() => {
+  const svg = document.getElementById('scene');
+  const selLabel = document.getElementById('sceneSel');
+  const NS = 'http://www.w3.org/2000/svg';
+  const W = 760, H = 420;
+  let cam = {az: 2.2, el: 0.55, dist: 2.2, cx: 0, cy: 0, cz: 0.15};
+  let geoms = null, bodyNames = [];
+  let lastFrame = null;
+  let selBody = -1, perturbing = false, dragStart = null;
+
+  // unit sphere ring + box topology, built once
+  const BOXF = [[0,1,3,2],[4,6,7,5],[0,4,5,1],[2,3,7,6],[0,2,6,4],[1,5,7,3]];
+  const BOXN = [[0,0,-1],[0,0,1],[0,-1,0],[0,1,0],[-1,0,0],[1,0,0]];
+
+  function basis() {
+    const ca = Math.cos(cam.az), sa = Math.sin(cam.az);
+    const ce = Math.cos(cam.el), se = Math.sin(cam.el);
+    const fwd = [-ce * ca, -ce * sa, -se];           // camera -> target
+    const right = [-sa, ca, 0];
+    const up = [se * ca, se * sa, -ce].map(v => -v);
+    const eye = [cam.cx - fwd[0] * cam.dist, cam.cy - fwd[1] * cam.dist,
+                 cam.cz - fwd[2] * cam.dist];
+    return {fwd, right, up, eye};
+  }
+  function project(p, B) {
+    const d = [p[0] - B.eye[0], p[1] - B.eye[1], p[2] - B.eye[2]];
+    const z = d[0] * B.fwd[0] + d[1] * B.fwd[1] + d[2] * B.fwd[2];
+    const x = d[0] * B.right[0] + d[1] * B.right[1] + d[2] * B.right[2];
+    const y = d[0] * B.up[0] + d[1] * B.up[1] + d[2] * B.up[2];
+    const f = 650 / Math.max(z, 0.05);
+    return [W / 2 + x * f, H / 2 - y * f, z, f];
+  }
+  const rot = (mat, v) => [
+    mat[0] * v[0] + mat[1] * v[1] + mat[2] * v[2],
+    mat[3] * v[0] + mat[4] * v[1] + mat[5] * v[2],
+    mat[6] * v[0] + mat[7] * v[1] + mat[8] * v[2]];
+  const add = (a, b) => [a[0] + b[0], a[1] + b[1], a[2] + b[2]];
+
+  function shade(rgba, lambert, extra) {
+    const l = 0.45 + 0.55 * Math.max(lambert, 0);
+    const s = extra || 1;
+    return `rgba(${Math.round(rgba[0]*255*l*s)},${Math.round(rgba[1]*255*l*s)},`
+         + `${Math.round(rgba[2]*255*l*s)},${Math.min(rgba[3], 0.95)})`;
+  }
+  const LIGHT = [0.35, 0.25, 0.9];
+
+  function draw() {
+    if (!geoms || !lastFrame) return;
+    const B = basis();
+    const items = [];   // {z, el}
+    const mk = (tag, attrs) => {
+      const e = document.createElementNS(NS, tag);
+      for (const k in attrs) e.setAttribute(k, attrs[k]);
+      return e;
+    };
+    geoms.forEach((g, gi) => {
+      const pos = lastFrame.pos[gi], mat = lastFrame.mat[gi];
+      if (!pos) return;
+      const rgba = g.rgba.slice();
+      if (rgba[3] < 0.05) return;                    // invisible helper geoms
+      const hot = g.body === selBody;
+      if (hot) { rgba[0] = Math.min(1, rgba[0] + .3); rgba[3] = 1; }
+      if (g.type === 0) {                            // plane: ground grid
+        const ext = 1.2;
+        for (let i = -4; i <= 4; i++) {
+          for (const seg of [[[i*ext/4,-ext],[i*ext/4,ext]],
+                             [[-ext,i*ext/4],[ext,i*ext/4]]]) {
+            const a = project(add(pos, rot(mat, [seg[0][0],seg[0][1],0])), B);
+            const b = project(add(pos, rot(mat, [seg[1][0],seg[1][1],0])), B);
+            if (a[2] < .06 || b[2] < .06) continue;
+            items.push({z: 1e6 - i, el: mk('line', {x1: a[0], y1: a[1],
+              x2: b[0], y2: b[1], stroke: css('--grid'),
+              'stroke-width': 1})});
+          }
+        }
+        return;
+      }
+      if (g.type === 2 || g.type === 4) {            // sphere / ellipsoid
+        const r = g.type === 2 ? g.size[0]
+                : (g.size[0] + g.size[1] + g.size[2]) / 3;
+        const p = project(pos, B);
+        if (p[2] < .06) return;
+        items.push({z: p[2], el: mk('circle', {cx: p[0], cy: p[1],
+          r: Math.max(r * p[3], 1.2),
+          fill: shade(rgba, 0.8), 'data-body': g.body})});
+        return;
+      }
+      if (g.type === 3 || g.type === 5) {            // capsule / cylinder
+        const h = g.size[1];
+        const a3 = add(pos, rot(mat, [0, 0, -h]));
+        const b3 = add(pos, rot(mat, [0, 0, h]));
+        const a = project(a3, B), b = project(b3, B);
+        if (a[2] < .06 || b[2] < .06) return;
+        const zc = (a[2] + b[2]) / 2;
+        items.push({z: zc, el: mk('line', {x1: a[0], y1: a[1], x2: b[0],
+          y2: b[1], stroke: shade(rgba, 0.75),
+          'stroke-width': Math.max(2 * g.size[0] * (a[3] + b[3]) / 2, 1.5),
+          'stroke-linecap': g.type === 3 ? 'round' : 'butt',
+          'data-body': g.body})});
+        return;
+      }
+      if (g.type === 6) {                            // box: 6 shaded faces
+        const s = g.size;
+        const v = [];
+        for (let i = 0; i < 8; i++)
+          v.push(project(add(pos, rot(mat,
+            [(i & 1 ? s[0] : -s[0]), (i & 2 ? s[1] : -s[1]),
+             (i & 4 ? s[2] : -s[2])])), B));
+        if (v.some(p => p[2] < .06)) return;
+        BOXF.forEach((f, fi) => {
+          const n = rot(mat, BOXN[fi]);
+          // backface cull: face normal vs view direction
+          const c3 = add(pos, rot(mat, [BOXN[fi][0]*s[0], BOXN[fi][1]*s[1],
+                                        BOXN[fi][2]*s[2]]));
+          const vd = [c3[0]-B.eye[0], c3[1]-B.eye[1], c3[2]-B.eye[2]];
+          if (n[0]*vd[0] + n[1]*vd[1] + n[2]*vd[2] > 0) return;
+          const lam = n[0]*LIGHT[0] + n[1]*LIGHT[1] + n[2]*LIGHT[2];
+          const zc = f.reduce((acc, i) => acc + v[i][2], 0) / 4;
+          items.push({z: zc, el: mk('polygon', {points:
+            f.map(i => v[i][0].toFixed(1) + ',' + v[i][1].toFixed(1))
+             .join(' '),
+            fill: shade(rgba, lam), 'data-body': g.body})});
+        });
+        return;
+      }
+      if (g.hull) {                                  // mesh: hull silhouette
+        const pts = g.hull.map(p3 => project(add(pos, rot(mat, p3)), B));
+        if (pts.some(p => p[2] < .06)) return;
+        // 2D convex hull (gift wrap on few points)
+        const hull2 = convexHull2(pts);
+        const zc = pts.reduce((a, p) => a + p[2], 0) / pts.length;
+        items.push({z: zc, el: mk('polygon', {points:
+          hull2.map(p => p[0].toFixed(1) + ',' + p[1].toFixed(1)).join(' '),
+          fill: shade(rgba, 0.65), stroke: shade(rgba, 0.3),
+          'data-body': g.body})});
+        return;
+      }
+      const p = project(pos, B);                     // fallback: dot
+      if (p[2] < .06) return;
+      items.push({z: p[2], el: mk('circle', {cx: p[0], cy: p[1], r: 2.5,
+        fill: shade(rgba, 0.8), 'data-body': g.body})});
+    });
+    items.sort((a, b) => b.z - a.z);                 // far -> near
+    svg.innerHTML = '';
+    for (const it of items) svg.appendChild(it.el);
+  }
+
+  function convexHull2(pts) {
+    const p = pts.map(q => [q[0], q[1]]).sort((a, b) =>
+      a[0] - b[0] || a[1] - b[1]);
+    if (p.length < 3) return p;
+    const cross = (o, a, b) =>
+      (a[0]-o[0])*(b[1]-o[1]) - (a[1]-o[1])*(b[0]-o[0]);
+    const lo = [], hi = [];
+    for (const q of p) {
+      while (lo.length >= 2 && cross(lo[lo.length-2], lo[lo.length-1], q)
+             <= 0) lo.pop();
+      lo.push(q);
+    }
+    for (const q of p.slice().reverse()) {
+      while (hi.length >= 2 && cross(hi[hi.length-2], hi[hi.length-1], q)
+             <= 0) hi.pop();
+      hi.push(q);
+    }
+    return lo.slice(0, -1).concat(hi.slice(0, -1));
+  }
+
+  // ---- interaction: orbit / zoom / shift-drag perturb
+  svg.addEventListener('pointerdown', ev => {
+    svg.setPointerCapture(ev.pointerId);
+    const r = svg.getBoundingClientRect();
+    const px = (ev.clientX - r.left) / r.width * W;
+    const py = (ev.clientY - r.top) / r.height * H;
+    if (ev.shiftKey && geoms && lastFrame) {
+      // pick nearest projected geom center
+      const B = basis();
+      let best = -1, bd = 28;
+      geoms.forEach((g, gi) => {
+        if (g.type === 0 || g.rgba[3] < 0.05) return;
+        const p = project(lastFrame.pos[gi], B);
+        const dd = Math.hypot(p[0] - px, p[1] - py);
+        if (dd < bd) { bd = dd; best = g.body; }
+      });
+      selBody = best;
+      selLabel.textContent = best >= 0
+        ? 'perturbing: ' + (bodyNames[best] || ('body ' + best)) : '';
+      perturbing = best >= 0;
+    }
+    dragStart = {px, py, az: cam.az, el: cam.el};
+  });
+  svg.addEventListener('pointermove', ev => {
+    if (!dragStart) return;
+    const r = svg.getBoundingClientRect();
+    const px = (ev.clientX - r.left) / r.width * W;
+    const py = (ev.clientY - r.top) / r.height * H;
+    if (perturbing && selBody >= 0) {
+      // drag in the camera plane -> world-frame force
+      const B = basis();
+      const k = 6.0 * cam.dist / 650;
+      const fx = (px - dragStart.px) * k, fy = -(py - dragStart.py) * k;
+      const f = [B.right[0] * fx + B.up[0] * fy,
+                 B.right[1] * fx + B.up[1] * fy,
+                 B.right[2] * fx + B.up[2] * fy];
+      fetch('/api/perturb', {method: 'POST',
+        headers: {'Content-Type': 'application/json'},
+        body: JSON.stringify({body: selBody, force: f})}).catch(() => {});
+    } else {
+      cam.az = dragStart.az - (px - dragStart.px) * 0.008;
+      cam.el = Math.max(-1.4, Math.min(1.4,
+        dragStart.el + (py - dragStart.py) * 0.008));
+      draw();
+    }
+  });
+  svg.addEventListener('pointerup', () => {
+    if (perturbing) {
+      fetch('/api/perturb', {method: 'POST',
+        headers: {'Content-Type': 'application/json'},
+        body: JSON.stringify({body: -1})}).catch(() => {});
+      perturbing = false; selBody = -1; selLabel.textContent = '';
+      draw();
+    }
+    dragStart = null;
+  });
+  svg.addEventListener('wheel', ev => {
+    ev.preventDefault();
+    cam.dist = Math.max(0.15, Math.min(20,
+      cam.dist * (ev.deltaY > 0 ? 1.1 : 0.9)));
+    draw();
+  }, {passive: false});
+
+  async function init() {
+    try {
+      const s = await (await fetch('/api/scene')).json();
+      geoms = s.geoms; bodyNames = s.body_names || [];
+    } catch (e) { /* scene optional */ }
+  }
+  async function tickFrame() {
+    if (!geoms) return;
+    try {
+      lastFrame = await (await fetch('/api/frame')).json();
+      draw();
+    } catch (e) { /* transient */ }
+  }
+  init();
+  setInterval(tickFrame, 120);
+  return {draw};
+})();
 
 const costChart = lineChart(document.getElementById('costCard'),
                             'Cost terms (weighted)');

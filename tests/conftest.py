@@ -7,20 +7,29 @@ is enabled; production-path tests pass float32 dtypes explicitly.
 import os
 import sys
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
+# MTPU_TEST_TPU=1 opts a run onto the real chip (e.g. the heavy in-hand
+# manipulation tests, hours on one CPU core but minutes on the TPU);
+# x64 stays off there — the TPU path is the f32 production path.
+_ON_TPU = os.environ.get('MTPU_TEST_TPU') == '1'
+if not _ON_TPU:
+  os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
       flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ['JAX_ENABLE_X64'] = '1'
+if not _ON_TPU:
+  os.environ['JAX_ENABLE_X64'] = '1'
 # subprocess servers (clients._spawn_server) pin their backend via the
 # --platform flag from this var: a down TPU tunnel must not hang tests
-os.environ['MTPU_PLATFORM'] = 'cpu'
+os.environ['MTPU_PLATFORM'] = 'cpu' if not _ON_TPU else 'tpu'
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.jax_cache'))
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_enable_x64', True)
+if not _ON_TPU:
+  jax.config.update('jax_platforms', 'cpu')
+  jax.config.update('jax_enable_x64', True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -75,5 +75,24 @@ def test_panel_state_set_and_plots():
     except urllib.error.HTTPError as e:
       raised = e.code == 400
     assert raised
+
+    # 3D scene surface: static geometry + streamed poses + drag perturb
+    # (the reference renders these in Simulate's GLFW window;
+    # simulate.cc perturbation UI -> mjv_applyPerturbForce)
+    sc = _get(panel.port, '/api/scene')
+    assert len(sc['geoms']) == app.spec.mj_model.ngeom
+    assert all(len(g['rgba']) == 4 for g in sc['geoms'])
+    app.agent.step()          # fills geom_xpos via the forward pass
+    fr = _get(panel.port, '/api/frame')
+    assert len(fr['pos']) == app.spec.mj_model.ngeom
+    assert len(fr['mat'][0]) == 9
+    body = int(app.spec.mj_model.geom_bodyid[-1])
+    _post(panel.port, '/api/perturb',
+          {'body': body, 'force': [1.0, 0.0, 0.0]})
+    xf = np.asarray(app.agent.sim_data.xfrc_applied)
+    assert abs(float(xf[body, 0]) - 1.0) < 1e-6
+    _post(panel.port, '/api/perturb', {'body': -1})
+    assert float(np.abs(np.asarray(
+        app.agent.sim_data.xfrc_applied)).max()) == 0.0
   finally:
     panel.stop()
