@@ -14,9 +14,15 @@ import os
 import time
 
 # persistent compile cache: the six configs cost minutes of XLA compile
-# each; cache hits make driver re-runs measure steady-state, not compile
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.expanduser('~/.jax_cache'))
+# each; cache hits make driver re-runs measure steady-state, not compile.
+# NOTE: jax's allowlist rejects the axon platform, so plain
+# JAX_COMPILATION_CACHE_DIR silently does nothing — utils/cache.py
+# force-enables it (round-5 finding: every compile of every round was
+# a cache miss).
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from mujoco_mpc_tpu.utils import cache as _mcache
+_mcache.enable()
 
 NUM_SAMPLES = 8192
 SPLINE_POINTS = 10

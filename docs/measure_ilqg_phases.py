@@ -16,8 +16,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.expanduser('~/.jax_cache'))
+from mujoco_mpc_tpu.utils import cache as _mcache  # noqa: E402
+_mcache.enable()
 
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
+from mujoco_mpc_tpu.utils import cache as _mcache  # noqa: E402
+_mcache.enable()
 
 CONFIGS = {
     'cartpole': ('Cartpole', 8192),

@@ -21,8 +21,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.expanduser('~/.jax_cache'))
+from mujoco_mpc_tpu.utils import cache as _mcache  # noqa: E402
+_mcache.enable()
 
 CONFIGS = {
     'cartpole': ('Cartpole', 8192),
@@ -80,7 +80,8 @@ def profile_op_table(plan, policy, reps=3):
     raise RuntimeError(f'no xplane.pb under {logdir}')
   pd = jax.profiler.ProfileData.from_file(paths[0])
   per_op = collections.defaultdict(float)
-  device_total = 0.0
+  counts = collections.defaultdict(int)
+  ncalls = 0
   for plane in pd.planes:
     if 'TPU' not in plane.name and 'Device' not in plane.name:
       continue
@@ -90,8 +91,18 @@ def profile_op_table(plan, policy, reps=3):
         dur = ev.duration_ns / 1e6
         name = ev.name
         per_op[name] += dur
-        device_total += dur
-  return sorted(per_op.items(), key=lambda kv: -kv[1]), device_total / reps
+        counts[name] += 1
+        if name.startswith('jit_'):
+          ncalls += 1
+  # per-call divisor: the number of module-envelope executions actually
+  # captured (the trace can miss dispatched-but-started-early calls, so
+  # `reps` over-divides — round-5 lesson: a shadow trace held ONE of 3
+  # calls and everything read 3x too fast)
+  ncalls = max(ncalls, 1)
+  envelope = max((t for n, t in per_op.items() if n.startswith('jit_')),
+                 default=0.0)
+  return (sorted(per_op.items(), key=lambda kv: -kv[1]), counts, ncalls,
+          envelope / ncalls)
 
 
 def categorize(name: str) -> str:
@@ -115,25 +126,28 @@ def main():
   top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
   task, ns = CONFIGS[cfg]
   plan, policy = build_plan(task, ns)
-  table, total_ms = profile_op_table(plan, policy)
-  print(f'== {cfg}: {task} x {ns} samples; device total/call '
-        f'~{total_ms:.1f} ms (3 calls traced) ==')
-  # category rollup (excluding envelope lines: jit_/while)
+  table, counts, ncalls, env_ms = profile_op_table(plan, policy)
+  print(f'== {cfg}: {task} x {ns} samples; module envelope '
+        f'~{env_ms:.1f} ms/call ({ncalls} captured calls) ==')
+  # category rollup (excluding envelope lines: jit_/while; async-start
+  # durations include dependency waits, so flag them)
   cats = collections.defaultdict(float)
   for name, ms in table:
     c = categorize(name)
     if c in ('jit_', 'while'):
       continue
-    cats[c] += ms / 3.0
-  print('-- categories (ms/call, envelopes excluded) --')
+    cats[c] += ms / ncalls
+  print('-- categories (ms/call; *-start overlap other compute) --')
   for c, ms in sorted(cats.items(), key=lambda kv: -kv[1])[:18]:
     print(f'{ms:9.3f} ms  {c}')
-  print('-- top ops --')
+  print('-- top ops (ms/call, xN = events/call) --')
   cum = 0.0
   grand = sum(ms for _, ms in table) or 1.0
   for name, ms in table[:top_n]:
     cum += ms
-    print(f'{ms/3.0:9.3f} ms  {100.0*ms/grand:5.1f}%  (cum {100.0*cum/grand:5.1f}%)  {name[:110]}')
+    print(f'{ms/ncalls:9.3f} ms x{counts[name]//ncalls:<4d} '
+          f'{100.0*ms/grand:5.1f}%  (cum {100.0*cum/grand:5.1f}%)  '
+          f'{name[:105]}')
 
 
 if __name__ == '__main__':

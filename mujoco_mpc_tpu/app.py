@@ -25,7 +25,12 @@ import numpy as np
 
 from mujoco_mpc_tpu import agent as agent_mod
 from mujoco_mpc_tpu.tasks import registry
+from mujoco_mpc_tpu.utils import cache as cache_mod
 from mujoco_mpc_tpu.utils import profiler as profiler_mod
+
+# app sessions re-jit the same plan/step programs every launch; the
+# persistent cache needs force-enabling on the axon platform
+cache_mod.enable()
 
 
 class OrnsteinUhlenbeckNoise:

@@ -193,11 +193,16 @@ def rubik3x3_xml(model_name: str, n_fingers: int = 4,
   home_hand = ' '.join(['0.3 0.5 0.4'] * (n_fingers + 1))
 
   return f"""<mujoco model="{model_name}">
-  <option timestep="0.004" gravity="0 0 -9.81" iterations="8"/>
+  <!-- iterations: planning-model Newton cap (docs/PERF.md "batched
+       while_loop runs to the worst sample"); 5 measured sufficient on
+       the interlocked cube (quadruped A/B found 4-6, round 4) -->
+  <option timestep="0.004" gravity="0 0 -9.81" iterations="5"/>
 
   <custom>
     <numeric name="agent_planner" data="0"/>
-    <numeric name="agent_horizon" data="0.3"/>
+    <!-- 0.25 s horizon matches the reference task
+         (mjpc/tasks/rubik/task.xml:10-11) -->
+    <numeric name="agent_horizon" data="0.25"/>
     <numeric name="agent_timestep" data="0.01"/>
     <numeric name="sampling_spline_points" data="3"/>
     <numeric name="sampling_exploration" data="0.25"/>

@@ -717,18 +717,20 @@ def _hull_sig(m: Model, g: int):
 def contact_clusters(m: Model):
   """Static pair clusters for the batched narrowphase.
 
-  Returns (mm, sm, pm, bm, clustered): mm = mesh-mesh pair lists (same
-  hull signatures, condim 1 — eligible for dynamic top-k selection);
-  sm / pm / bm = sphere-mesh / plane-mesh / box-mesh pair lists (same
-  hull signature and condim), each narrowphased as ONE vectorized
-  computation over the pair axis; clustered = set of pairs covered.
-  Small groups stay on the unrolled per-pair path."""
+  Returns (mm, sm, pm, bm, cm, clustered): mm = mesh-mesh pair lists
+  (same hull signatures, condim 1 — eligible for dynamic top-k
+  selection); sm / pm / bm / cm = sphere-mesh / plane-mesh / box-mesh /
+  capsule-mesh pair lists (same hull signature and condim), each
+  narrowphased as ONE vectorized computation over the pair axis;
+  clustered = set of pairs covered. Small groups stay on the unrolled
+  per-pair path."""
   import collections as _c
   import numpy as np
   mm = _c.defaultdict(list)
   sm = _c.defaultdict(list)
   pm = _c.defaultdict(list)
   bm = _c.defaultdict(list)
+  cm = _c.defaultdict(list)
   for (g1, g2) in m.collision_pairs:
     t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
     condim = int(max(m.geom_condim[g1], m.geom_condim[g2]))
@@ -744,14 +746,17 @@ def contact_clusters(m: Model):
       pm[(_hull_sig(m, g2), condim)].append((g1, g2))
     elif t1 == int(GeomType.BOX) and t2 == int(GeomType.MESH):
       bm[(_hull_sig(m, g2), condim)].append((g1, g2))
+    elif t1 == int(GeomType.CAPSULE) and t2 == int(GeomType.MESH):
+      cm[(_hull_sig(m, g2), condim)].append((g1, g2))
   mm = [v for v in mm.values() if len(v) >= 8]
   sm = [v for v in sm.values() if len(v) >= 4]
   pm = [v for v in pm.values() if len(v) >= 4]
   bm = [v for v in bm.values() if len(v) >= 4]
+  cm = [v for v in cm.values() if len(v) >= 4]
   clustered = set()
-  for cls in (mm, sm, pm, bm):
+  for cls in (mm, sm, pm, bm, cm):
     clustered |= set(p for cl in cls for p in cl)
-  return mm, sm, pm, bm, clustered
+  return mm, sm, pm, bm, cm, clustered
 
 
 def plane_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
@@ -906,6 +911,37 @@ def mesh_mesh_batched(m: Model, d: Data, pairs, k: int = 4,
   pair_idx = jnp.concatenate([base, base])
   return (jnp.concatenate([d12, d21]), jnp.concatenate([p12, p21]),
           jnp.concatenate([n12, n21]), pair_idx)
+
+
+def capsule_mesh_batched(m: Model, d: Data, pairs):
+  """Vectorized capsule-vs-hull over same-hull-shape pairs.
+
+  Matches narrowphase()'s capsule-mesh reduction — each capsule endpoint
+  sphere against the hull's max-halfspace signed distance — but runs all
+  K pairs (2K endpoint spheres) as one einsum over the pair axis (the
+  Shadow Reorient model's 20 digit-capsule x cube-hull pairs were the
+  bulk of its unrolled narrowphase). Returns (dist (2K,), pos (2K, 3),
+  normal (2K, 3)) pair-major with 2 points per pair in the unrolled
+  path's [-end, +end] order, normals g1(capsule) -> g2(mesh)."""
+  import numpy as np
+  g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
+  _, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  p1 = d.geom_xpos[g1s]                              # (K, 3)
+  ax = d.geom_xmat[g1s][:, :, 2]                     # (K, 3) capsule z
+  half = m.geom_size[g1s, 1][:, None]
+  r = m.geom_size[g1s, 0]                            # (K,)
+  ends = jnp.stack([p1 - ax * half, p1 + ax * half], axis=1)  # (K, 2, 3)
+  phi = jnp.einsum('kfe,kse->ksf', nw, ends) + bw[:, None]    # (K, 2, F)
+  best = jnp.max(phi, axis=-1)                                # (K, 2)
+  oh = (phi >= best[..., None]).astype(p1.dtype)
+  oh = oh / jnp.maximum(jnp.sum(oh, axis=-1, keepdims=True), 1.0)
+  n = jnp.einsum('ksf,kfe->kse', oh, nw)                      # (K, 2, 3)
+  n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+  dist = best - r[:, None]                                    # (K, 2)
+  pos = ends - n * (r[:, None] + 0.5 * dist)[..., None]
+  kp = len(pairs)
+  return (dist.reshape(2 * kp), pos.reshape(2 * kp, 3),
+          -n.reshape(2 * kp, 3))
 
 
 def sphere_mesh_batched(m: Model, d: Data, pairs):

@@ -538,7 +538,7 @@ def _contact_groups(m: Model, d: Data):
                     'solref', 'solimp', 'mu', 'invw', 'b1', 'b2')}
     return groups[c]
 
-  mm, sm, pm, bm, clustered = collision.contact_clusters(m)
+  mm, sm, pm, bm, cm, clustered = collision.contact_clusters(m)
 
   def _append_cluster(pairs, dist, pos, normal, points_per_pair):
     """Stack one batched-narrowphase cluster's points into its condim
@@ -564,6 +564,9 @@ def _contact_groups(m: Model, d: Data):
   for cl in sm:
     dist, pos, normal = collision.sphere_mesh_batched(m, d, cl)
     _append_cluster(cl, dist, pos, normal, 1)
+  for cl in cm:
+    dist, pos, normal = collision.capsule_mesh_batched(m, d, cl)
+    _append_cluster(cl, dist, pos, normal, 2)
   for cl in pm:
     dist, pos, normal = collision.plane_mesh_batched(m, d, cl)
     _append_cluster(cl, dist, pos, normal, 4)

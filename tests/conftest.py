@@ -22,8 +22,13 @@ if not _ON_TPU:
 # subprocess servers (clients._spawn_server) pin their backend via the
 # --platform flag from this var: a down TPU tunnel must not hang tests
 os.environ['MTPU_PLATFORM'] = 'cpu' if not _ON_TPU else 'tpu'
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.expanduser('~/.jax_cache'))
+if _ON_TPU:
+  # compile-cache the heavy contact programs across on-chip test runs
+  # (jax's platform allowlist rejects axon; utils/cache.py force-enables)
+  sys.path.insert(0, os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))))
+  from mujoco_mpc_tpu.utils import cache as _mcache
+  _mcache.enable()
 
 import jax  # noqa: E402
 

@@ -287,8 +287,8 @@ def test_rolling_friction_condim6_long_horizon():
 
 def test_clustered_narrowphase_matches_unrolled():
   """The batched same-hull cluster narrowphase (plane-mesh, box-mesh,
-  sphere-mesh; collision.contact_clusters) must produce the same
-  dynamics as the unrolled per-pair path it replaces."""
+  sphere-mesh, capsule-mesh; collision.contact_clusters) must produce
+  the same dynamics as the unrolled per-pair path it replaces."""
   import mujoco
   from mujoco_mpc_tpu.physics import collision as coll
   from mujoco_mpc_tpu.physics import forward as fwd
@@ -304,6 +304,11 @@ def test_clustered_narrowphase_matches_unrolled():
       <freejoint/>
       <geom type="sphere" size="0.02" mass="0.05" condim="3"/>
     </body>""" for i in range(4))
+  capsules = '\n'.join(f"""
+    <body pos="{0.05*i - 0.08} 0.07 0.05" euler="0 {20*i} 0">
+      <freejoint/>
+      <geom type="capsule" size="0.012 0.025" mass="0.05" condim="3"/>
+    </body>""" for i in range(4))
   xml = f"""
   <mujoco>
     <option timestep="0.002"/>
@@ -314,6 +319,7 @@ def test_clustered_narrowphase_matches_unrolled():
             contype="1" conaffinity="1"/>
       {balls}
       {spheres}
+      {capsules}
     </worldbody>
   </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
@@ -329,7 +335,7 @@ def test_clustered_narrowphase_matches_unrolled():
   # unrolled reference: same model with clustering disabled
   orig = coll.contact_clusters
   try:
-    coll.contact_clusters = lambda mm: ([], [], [], [], set())
+    coll.contact_clusters = lambda mm: ([], [], [], [], [], set())
     jax.clear_caches()
     d_u = fwd.forward(m, d0)
   finally:
