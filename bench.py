@@ -264,6 +264,15 @@ def measure_extra_configs():
       k = jax.random.key(0)
       r = plan(policy, k)
       jax.block_until_ready(r)
+      # force a device->host read: an execution error the experimental
+      # tunnel fails to propagate through block_until_ready surfaces on
+      # the copy, and a non-finite best_return means the measurement
+      # below would time a poisoned program (round-5: rubik reported a
+      # 0.1 ms 'plan')
+      import numpy as _np
+      best0 = float(_np.asarray(r[1]))
+      if not _np.isfinite(best0):
+        raise RuntimeError(f'non-finite best_return {best0}')
       lat = []
       for _ in range(8):
         t0 = _time.perf_counter()
@@ -281,19 +290,21 @@ def measure_extra_configs():
         p, _ = plan(p, k)
       jax.block_until_ready(p)
       steady = (_time.perf_counter() - t0) / 8
-      return round(lat[len(lat) // 2] * 1e3, 1), round(steady * 1e3, 1)
+      return (round(lat[len(lat) // 2] * 1e3, 1),
+              round(steady * 1e3, 1), round(best0, 4))
 
     # degrade loudly: retry each config on the XLA solver path before
     # giving up, and never emit a bare -1.0 without the error string
     # (round-2 lesson: silent -1.0 hid a Mosaic compile failure)
     skey = key.replace('_p50_ms', '_steady_ms')
+    bkey = key.replace('_p50_ms', '_best_return')
     try:
-      out[key], out[skey] = run_once()
+      out[key], out[skey], out[bkey] = run_once()
     except Exception as e_fused:
       os.environ['MJPC_TPU_FUSED_NEWTON'] = '0'
       jax.clear_caches()
       try:
-        out[key], out[skey] = run_once()
+        out[key], out[skey], out[bkey] = run_once()
         out[key + '_note'] = ('fused kernel failed, XLA path used: '
                               + str(e_fused)[:160])
       except Exception as e_xla:

@@ -30,7 +30,36 @@ CONFIGS = {
     'humanoid_track': ('Humanoid Track', 512),
     'shadow': ('Shadow Reorient', 8192),
     'rubik': ('Cube Solving', 512),
+    # xrt_*: the synchronous plan-act loop bench.measure_xrealtime runs
+    # (one jit: transition -> state sync -> plan -> 4 sim steps, x10) —
+    # profiles the batch-1 sim-step cost that xrealtime exposes
+    'xrt_quadruped': ('Quadruped Flat', 4096),
+    'xrt_cartpole': ('Cartpole', 8192),
 }
+
+
+def build_xrt(task, ns, nplans=10, steps_per_plan=4):
+  import jax
+  from mujoco_mpc_tpu import agent as agent_mod
+  from mujoco_mpc_tpu.physics.model import make_data
+  from mujoco_mpc_tpu.tasks import registry
+
+  spec = registry.get_task(task)
+  m = spec.model
+  dtype = m.qpos0.dtype
+  sim0 = make_data(m, dtype=dtype)
+  if 'home' in m.keyframe_names:
+    sim0 = sim0.replace(
+        qpos=m.key_qpos[m.keyframe_names.index('home')].astype(dtype))
+  total = nplans * steps_per_plan
+
+  @jax.jit
+  def run(k):
+    carry, costs = agent_mod.synchronous_mpc(
+        spec, ns, total, steps_per_plan, k, sim0=sim0)
+    return costs
+
+  return run, jax.random.key(0)
 
 
 def build_plan(task, ns):
@@ -125,7 +154,11 @@ def main():
   cfg = sys.argv[1] if len(sys.argv) > 1 else 'quadruped'
   top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
   task, ns = CONFIGS[cfg]
-  plan, policy = build_plan(task, ns)
+  if cfg.startswith('xrt_'):
+    plan, policy = build_xrt(task, ns)
+    plan = (lambda p, k, _run=plan: _run(k))  # adapt to (pol, key) calls
+  else:
+    plan, policy = build_plan(task, ns)
   table, counts, ncalls, env_ms = profile_op_table(plan, policy)
   print(f'== {cfg}: {task} x {ns} samples; module envelope '
         f'~{env_ms:.1f} ms/call ({ncalls} captured calls) ==')

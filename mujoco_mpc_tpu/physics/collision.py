@@ -759,21 +759,48 @@ def contact_clusters(m: Model):
   return mm, sm, pm, bm, cm, clustered
 
 
+def _hulls_local(m: Model, d: Data, gs, sel=None):
+  """Local-frame hull tables + world poses for a same-shape geom list.
+
+  Returns (verts (K, V, 3), face normals (K, F, 3), offsets (K, F),
+  xpos (K, 3), xmat (K, 3, 3)). The hull tables are HOST CONSTANTS —
+  the whole point of the local-frame narrowphase: transforming the few
+  query points into each hull's frame keeps every per-sample tensor
+  O(points), where the world-frame form materialized (batch, K, F, 3)
+  rotated-normal tensors per step (65 MB/step on Shadow Reorient — the
+  dominant cost of its round-5 profile). phi(p_local) = n_l . p_local
+  + b_l equals the world-frame signed distance exactly (_hull_world)."""
+  import numpy as np
+  verts = jnp.stack([m.geom_mesh[g][0] for g in gs])
+  fn = jnp.stack([m.geom_mesh[g][1] for g in gs])
+  fb = jnp.stack([m.geom_mesh[g][2] for g in gs])
+  idx = jnp.asarray(np.asarray(gs, dtype=np.int32))
+  if sel is not None:
+    verts, fn, fb, idx = verts[sel], fn[sel], fb[sel], idx[sel]
+  return verts, fn, fb, d.geom_xpos[idx], d.geom_xmat[idx]
+
+
 def plane_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
   """Vectorized _plane_mesh over same-hull-shape pairs: the k deepest
   hull vertices below each pair's plane. Returns (dist (K*k,),
-  pos (K*k, 3), normal (K*k, 3)), normals g1(plane) -> g2(mesh)."""
+  pos (K*k, 3), normal (K*k, 3)), normals g1(plane) -> g2(mesh).
+
+  Local-frame form: the plane rotates into each hull's frame (one
+  (K, 3) vector) and tests against the CONSTANT vertex table."""
   import numpy as np
   g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
-  vw, _, _ = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  verts, _, _, xp2, xm2 = _hulls_local(m, d, [p[1] for p in pairs])
   pp = d.geom_xpos[g1s]                              # (K, 3)
   pn = d.geom_xmat[g1s][:, :, 2]                     # (K, 3)
-  dist = jnp.einsum('kve,ke->kv', vw - pp[:, None, :], pn)
-  neg_top, idx = jax.lax.top_k(-dist, min(k, vw.shape[1]))
+  pn_l = jnp.einsum('ked,ke->kd', xm2, pn)           # mat^T . pn
+  off = jnp.einsum('ke,ke->k', xp2 - pp, pn)
+  dist = jnp.einsum('kve,ke->kv', verts, pn_l) + off[:, None]
+  neg_top, idx = jax.lax.top_k(-dist, min(k, verts.shape[1]))
   dsel = -neg_top                                    # (K, k)
-  v_iota = jnp.arange(vw.shape[1], dtype=jnp.int32)
-  oh = (idx[..., None] == v_iota[None, None, :]).astype(vw.dtype)
-  vsel = jnp.einsum('kiv,kve->kie', oh, vw)          # (K, k, 3)
+  v_iota = jnp.arange(verts.shape[1], dtype=jnp.int32)
+  oh = (idx[..., None] == v_iota[None, None, :]).astype(pn.dtype)
+  vsel_l = jnp.einsum('kiv,kve->kie', oh, verts)     # (K, k, 3) local
+  vsel = xp2[:, None, :] + jnp.einsum('ked,kid->kie', xm2, vsel_l)
   pos = vsel - 0.5 * dsel[..., None] * pn[:, None, :]
   normal = jnp.broadcast_to(pn[:, None, :], vsel.shape)
   return dsel.reshape(-1), pos.reshape(-1, 3), normal.reshape(-1, 3)
@@ -783,19 +810,25 @@ def box_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
   """Vectorized _box_mesh over same-hull-shape pairs: per pair the k
   deepest box corners in the hull plus the k deepest hull verts in the
   box (one-hot selected, MXU-friendly). Returns (dist (K*2k,), pos,
-  normal), normals g1(box) -> g2(mesh)."""
+  normal), normals g1(box) -> g2(mesh).
+
+  Local-frame form (_hulls_local): corners rotate into the hull frame,
+  box halfspaces rotate into the hull frame; both tests run against
+  CONSTANT hull tables and only selected points return to world."""
   import numpy as np
   g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
-  vw, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  verts, fn, fb, xp2, xm2 = _hulls_local(m, d, [p[1] for p in pairs])
   bp = d.geom_xpos[g1s]                              # (K, 3)
   bmat = d.geom_xmat[g1s]                            # (K, 3, 3)
   bsize = m.geom_size[g1s]                           # (K, 3)
-  dtype = vw.dtype
+  dtype = bp.dtype
   signs = jnp.asarray([[sx, sy, sz] for sx in (-1., 1.)
                        for sy in (-1., 1.) for sz in (-1., 1.)], dtype)
 
-  def select(points, phi_n, phi_b, nsign):
-    """k deepest of `points` (K, P, 3) vs halfspaces (K, F, ...)."""
+  def select(points, phi_n, phi_b, nsign, to_world):
+    """k deepest of `points` (K, P, 3) vs halfspaces (K, F, ...); both
+    in the same (hull-local) frame. `to_world(p, is_dir)` maps selected
+    points/normals back."""
     phi = jnp.einsum('kpe,kfe->kpf', points, phi_n) + phi_b[:, None, :]
     depth = jnp.max(phi, axis=2)                     # (K, P)
     oh_f = (phi >= depth[..., None]).astype(dtype)
@@ -806,45 +839,36 @@ def box_mesh_batched(m: Model, d: Data, pairs, k: int = 4):
     dsel = -neg_top
     p_iota = jnp.arange(points.shape[1], dtype=jnp.int32)
     oh = (idx[..., None] == p_iota[None, None, :]).astype(dtype)
-    psel = jnp.einsum('kip,kpe->kie', oh, points)
-    nsel = jnp.einsum('kip,kpe->kie', oh, normals)
+    psel = to_world(jnp.einsum('kip,kpe->kie', oh, points), False)
+    nsel = to_world(jnp.einsum('kip,kpe->kie', oh, normals), True)
     nsel = nsel / jnp.maximum(
         jnp.linalg.norm(nsel, axis=-1, keepdims=True), 1e-12)
     pos = psel - 0.5 * dsel[..., None] * nsel
     return (dsel.reshape(-1), pos.reshape(-1, 3),
             (nsign * nsel).reshape(-1, 3))
 
-  # box corners into the hull (hull normal points hull->corner = g2->g1)
-  corners = bp[:, None, :] + jnp.einsum(
+  def hull_to_world(p, is_dir):
+    w = jnp.einsum('ked,kid->kie', xm2, p)
+    return w if is_dir else xp2[:, None, :] + w
+
+  # box corners into the hull (hull normal points hull->corner = g2->g1),
+  # corners expressed in the hull's local frame
+  corners_w = bp[:, None, :] + jnp.einsum(
       'kde,kpe->kpd', bmat, signs[None, :, :] * bsize[:, None, :])
-  d1, p1, n1 = select(corners, nw, bw, -1.0)
-  # hull verts into the box halfspaces (face normal box->vert = g1->g2)
+  corners_l = jnp.einsum('ked,kpe->kpd', xm2, corners_w - xp2[:, None, :])
+  d1, p1, n1 = select(corners_l, fn, fb, -1.0, hull_to_world)
+  # hull verts into the box halfspaces (face normal box->vert = g1->g2),
+  # halfspaces rotated into the hull's local frame so the CONSTANT
+  # vertex table is the point set
   box_n = jnp.concatenate([jnp.swapaxes(bmat, 1, 2),
                            -jnp.swapaxes(bmat, 1, 2)], axis=1)  # (K,6,3)
   centre = jnp.einsum('kfe,ke->kf', box_n, bp)
   box_b = -centre - jnp.concatenate([bsize, bsize], axis=1)
-  d2, p2, n2 = select(vw, box_n, box_b, 1.0)
+  box_n_l = jnp.einsum('ked,kfe->kfd', xm2, box_n)   # mat^T . n
+  box_b_l = box_b + jnp.einsum('kfe,ke->kf', box_n, xp2)
+  d2, p2, n2 = select(verts, box_n_l, box_b_l, 1.0, hull_to_world)
   return (jnp.concatenate([d1, d2]), jnp.concatenate([p1, p2]),
           jnp.concatenate([n1, n2]))
-
-
-def _hulls_world_batched(m: Model, d: Data, gs, sel=None):
-  """World hull data for a same-shape geom list: verts (K, V, 3),
-  face normals (K, F, 3), offsets (K, F). `sel` (P,) traced indices
-  restrict to a selected subset of the list."""
-  verts = jnp.stack([m.geom_mesh[g][0] for g in gs])
-  fn = jnp.stack([m.geom_mesh[g][1] for g in gs])
-  fb = jnp.stack([m.geom_mesh[g][2] for g in gs])
-  import numpy as np
-  idx = jnp.asarray(np.asarray(gs, dtype=np.int32))
-  if sel is not None:
-    verts, fn, fb, idx = verts[sel], fn[sel], fb[sel], idx[sel]
-  xp = d.geom_xpos[idx]                              # (K, 3)
-  xm = d.geom_xmat[idx]                              # (K, 3, 3)
-  vw = xp[:, None, :] + jnp.einsum('kvd,ked->kve', verts, xm)
-  nw = jnp.einsum('kfd,ked->kfe', fn, xm)
-  bw = fb - jnp.einsum('kfe,ke->kf', nw, xp)
-  return vw, nw, bw
 
 
 def mesh_mesh_batched(m: Model, d: Data, pairs, k: int = 4,
@@ -879,33 +903,42 @@ def mesh_mesh_batched(m: Model, d: Data, pairs, k: int = 4,
     cdist = (jnp.linalg.norm(d.geom_xpos[i1] - d.geom_xpos[i2], axis=-1)
              - jnp.asarray(rb1 + rb2, dtype=d.qpos.dtype))
     _, sel = jax.lax.top_k(-cdist, pair_cap)
-  vw1, nw1, bw1 = _hulls_world_batched(m, d, g1l, sel)
-  vw2, nw2, bw2 = _hulls_world_batched(m, d, g2l, sel)
+  v1, fn1, fb1, xp1, xm1 = _hulls_local(m, d, g1l, sel)
+  v2, fn2, fb2, xp2, xm2 = _hulls_local(m, d, g2l, sel)
 
-  def one_way(vw, nw, bw, sign):
-    # argmax/gather expressed as one-hot einsums: take_along_axis on
-    # (K, V, 3)/(K, F, 3) lowers to T(4,128)-tiled gathers that
-    # dominated the Shadow profile; one-hot contractions ride the MXU
-    phi = jnp.einsum('kve,kfe->kvf', vw, nw) + bw[:, None, :]
+  def one_way(va, xpa, xma, fnb, fbb, xpb, xmb, sign):
+    """Verts of hull a against halfspaces of hull b, computed entirely
+    in b's LOCAL frame: one relative pose per pair replaces the
+    (K, V, 3)+(K, F, 3) world-rotated tables of the world-frame form
+    (65 MB/step of rotated normals on the shadow/cube profiles).
+    argmax/gather stay one-hot einsums — take_along_axis lowers to
+    T(4,128)-tiled gathers that dominated the round-2 Shadow profile."""
+    rel = jnp.einsum('kcd,kce->kde', xmb, xma)       # b^T a (K, 3, 3)
+    t = jnp.einsum('ked,ke->kd', xmb, xpa - xpb)     # (K, 3)
+    va_in_b = t[:, None, :] + jnp.einsum('kde,kve->kvd', rel, va)
+    phi = jnp.einsum('kve,kfe->kvf', va_in_b, fnb) + fbb[:, None, :]
     depth = jnp.max(phi, axis=2)                     # (K, V)
-    oh_f = (phi >= depth[..., None]).astype(vw.dtype)
+    oh_f = (phi >= depth[..., None]).astype(va.dtype)
     oh_f = oh_f / jnp.maximum(jnp.sum(oh_f, axis=2, keepdims=True), 1.0)
-    normals = jnp.einsum('kvf,kfe->kve', oh_f, nw)   # (K, V, 3)
+    normals = jnp.einsum('kvf,kfe->kve', oh_f, fnb)  # (K, V, 3) b-local
     neg_top, idx = jax.lax.top_k(-depth, k)          # (K, k)
     dist = -neg_top                                  # (K, k)
-    v_iota = jnp.arange(vw.shape[1], dtype=jnp.int32)
-    oh_v = (idx[..., None] == v_iota[None, None, :]).astype(vw.dtype)
-    vsel = jnp.einsum('kiv,kve->kie', oh_v, vw)      # (K, k, 3)
-    nsel = jnp.einsum('kiv,kve->kie', oh_v, normals)
+    v_iota = jnp.arange(va.shape[1], dtype=jnp.int32)
+    oh_v = (idx[..., None] == v_iota[None, None, :]).astype(va.dtype)
+    vsel_l = jnp.einsum('kiv,kve->kie', oh_v, va_in_b)
+    nsel_l = jnp.einsum('kiv,kve->kie', oh_v, normals)
+    vsel = xpb[:, None, :] + jnp.einsum('ked,kid->kie', xmb, vsel_l)
+    nsel = jnp.einsum('ked,kid->kie', xmb, nsel_l)
     nsel = nsel / jnp.maximum(
         jnp.linalg.norm(nsel, axis=-1, keepdims=True), 1e-12)
     pos = vsel - 0.5 * dist[..., None] * nsel
     return dist.reshape(-1), pos.reshape(-1, 3), \
         (sign * nsel).reshape(-1, 3)
 
-  d12, p12, n12 = one_way(vw1, nw2, bw2, -1.0)   # hull2->vert flipped
-  d21, p21, n21 = one_way(vw2, nw1, bw1, 1.0)
-  kp = vw1.shape[0]
+  d12, p12, n12 = one_way(v1, xp1, xm1, fn2, fb2, xp2, xm2,
+                          -1.0)                  # hull2->vert flipped
+  d21, p21, n21 = one_way(v2, xp2, xm2, fn1, fb1, xp1, xm1, 1.0)
+  kp = v1.shape[0]
   base = (jnp.repeat(sel, k) if sel is not None
           else jnp.asarray(np.repeat(np.arange(kp), k), dtype=jnp.int32))
   pair_idx = jnp.concatenate([base, base])
@@ -925,17 +958,20 @@ def capsule_mesh_batched(m: Model, d: Data, pairs):
   path's [-end, +end] order, normals g1(capsule) -> g2(mesh)."""
   import numpy as np
   g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
-  _, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  _, fn, fb, xp2, xm2 = _hulls_local(m, d, [p[1] for p in pairs])
   p1 = d.geom_xpos[g1s]                              # (K, 3)
   ax = d.geom_xmat[g1s][:, :, 2]                     # (K, 3) capsule z
   half = m.geom_size[g1s, 1][:, None]
   r = m.geom_size[g1s, 0]                            # (K,)
   ends = jnp.stack([p1 - ax * half, p1 + ax * half], axis=1)  # (K, 2, 3)
-  phi = jnp.einsum('kfe,kse->ksf', nw, ends) + bw[:, None]    # (K, 2, F)
+  # endpoints into the hull frame; the CONSTANT face table does the rest
+  ends_l = jnp.einsum('ked,kse->ksd', xm2, ends - xp2[:, None, :])
+  phi = jnp.einsum('ksd,kfd->ksf', ends_l, fn) + fb[:, None]  # (K, 2, F)
   best = jnp.max(phi, axis=-1)                                # (K, 2)
   oh = (phi >= best[..., None]).astype(p1.dtype)
   oh = oh / jnp.maximum(jnp.sum(oh, axis=-1, keepdims=True), 1.0)
-  n = jnp.einsum('ksf,kfe->kse', oh, nw)                      # (K, 2, 3)
+  n_l = jnp.einsum('ksf,kfd->ksd', oh, fn)                    # (K, 2, 3)
+  n = jnp.einsum('ked,ksd->kse', xm2, n_l)                    # world
   n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
   dist = best - r[:, None]                                    # (K, 2)
   pos = ends - n * (r[:, None] + 0.5 * dist)[..., None]
@@ -950,14 +986,16 @@ def sphere_mesh_batched(m: Model, d: Data, pairs):
   pos (K, 3), normal (K, 3))."""
   import numpy as np
   g1s = np.asarray([p[0] for p in pairs], dtype=np.int32)
-  _, nw, bw = _hulls_world_batched(m, d, [p[1] for p in pairs])
+  _, fn, fb, xp2, xm2 = _hulls_local(m, d, [p[1] for p in pairs])
   c = d.geom_xpos[g1s]                               # (K, 3)
   r = m.geom_size[g1s, 0]                            # (K,)
-  phi = jnp.einsum('kfe,ke->kf', nw, c) + bw         # (K, F)
+  c_l = jnp.einsum('ked,ke->kd', xm2, c - xp2)       # hull-local centre
+  phi = jnp.einsum('kd,kfd->kf', c_l, fn) + fb       # (K, F)
   best = jnp.max(phi, axis=1)
   oh = (phi >= best[:, None]).astype(c.dtype)
   oh = oh / jnp.maximum(jnp.sum(oh, axis=1, keepdims=True), 1.0)
-  n = jnp.einsum('kf,kfe->ke', oh, nw)               # (K, 3)
+  n_l = jnp.einsum('kf,kfd->kd', oh, fn)             # (K, 3) local
+  n = jnp.einsum('ked,kd->ke', xm2, n_l)             # world
   n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
   dist = best - r
   pos = c - n * (r + 0.5 * dist)[:, None]

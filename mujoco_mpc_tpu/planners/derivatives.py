@@ -58,15 +58,18 @@ def nominal_trajectory(spec: TaskSpec, d0: Data, actions: jax.Array,
   """Roll out actions recording states/residuals/costs."""
   m = spec.model
 
-  def body(d, u):
-    d = d.replace(ctrl=u)
+  def body(carry, u):
+    t, qp, qv, ac = carry
+    # slim scan carry (rollout.py:44): only integrator state threads
+    d = d0.replace(time=t, qpos=qp, qvel=qv, act=ac, ctrl=u)
     df = fwd.forward(m, d)
-    res = spec.residual_fn(m, df, params.residual_params)
     d_next = fwd.integrate(m, df)
-    rec = (d.qpos, d.qvel, d.act, d.time, res)
-    return d_next, rec
+    res = spec.residual_fn(m, df, params.residual_params)
+    rec = (qp, qv, ac, t, res)
+    return (d_next.time, d_next.qpos, d_next.qvel, d_next.act), rec
 
-  _, (qpos, qvel, act, time, residuals) = jax.lax.scan(body, d0, actions)
+  init = (d0.time, d0.qpos, d0.qvel, d0.act)
+  _, (qpos, qvel, act, time, residuals) = jax.lax.scan(body, init, actions)
   costs = spec.cost(residuals, params)
   return Trajectory(qpos=qpos, qvel=qvel, act=act, time=time,
                     actions=actions, residuals=residuals, costs=costs)

@@ -278,29 +278,33 @@ def _feedback_rollout(spec: TaskSpec, d0: Data, policy: ILQGPolicy,
   lo = m.actuator_ctrlrange[:, 0]
   hi = m.actuator_ctrlrange[:, 1]
 
-  def body(d, t):
+  def body(carry, t):
+    tm_, qpos, qvel, act = carry
     if index_by_time:
       t = jnp.clip(
-          jnp.searchsorted(policy.times, d.time, side='right') - 1, 0,
+          jnp.searchsorted(policy.times, tm_, side='right') - 1, 0,
           policy.times.shape[0] - 1)
     dx = jnp.concatenate(
-        [support.state_diff(m, policy.qpos[t], d.qpos),
-         d.qvel - policy.qvel[t]] +
-        ([d.act - policy.act[t]] if m.na else []))
+        [support.state_diff(m, policy.qpos[t], qpos),
+         qvel - policy.qvel[t]] +
+        ([act - policy.act[t]] if m.na else []))
     u = (policy.actions[t] + scale * policy.action_improvement[t]
          + policy.feedback_gain[t] @ dx)
     u = jnp.clip(u, lo, hi)
-    d = d.replace(ctrl=u)
+    # slim scan carry (rollout.py:44): only integrator state threads
+    d = d0.replace(time=tm_, qpos=qpos, qvel=qvel, act=act, ctrl=u)
     df = fwd.forward(m, d)
     res = spec.residual_fn(m, df, params.residual_params)
     d = fwd.integrate(m, df)
-    return d, (u, res, df.qpos, df.qvel, df.act, df.time)
+    return ((d.time, d.qpos, d.qvel, d.act),
+            (u, res, df.qpos, df.qvel, df.act, df.time))
 
   # partially unroll on small smooth models (same gate as rollout.py:50):
   # the batch-1 nominal rollout is pure dispatch latency — unrolling lets
   # XLA fuse elementwise chains across steps
+  init = (d0.time, d0.qpos, d0.qvel, d0.act)
   _, (actions, residuals, qpos, qvel, act, times) = jax.lax.scan(
-      body, d0, jnp.arange(horizon_steps),
+      body, init, jnp.arange(horizon_steps),
       unroll=8 if m.nv <= 4 else (4 if m.nv <= 8 else 1))
   costs = spec.cost(residuals, params)
   ret = rollout_mod.total_return(costs)

@@ -36,12 +36,18 @@ def rollout_actions(spec: TaskSpec, d0: Data, actions: jax.Array,
   costs (T,))."""
   m = spec.model
 
-  def body(d, action):
-    d = d.replace(ctrl=action)
+  # slim scan carry: only the true integrator state (time/qpos/qvel/act)
+  # threads through the loop — every other Data leaf is recomputed by
+  # forward() from qpos/qvel, and carrying the full pytree makes XLA
+  # keep ~40 per-sample buffers live (+ a copy each) across every scan
+  # iteration of a dispatch-bound loop
+  def body(carry, action):
+    t, qpos, qvel, act = carry
+    d = d0.replace(time=t, qpos=qpos, qvel=qvel, act=act, ctrl=action)
     d = fwd.forward(m, d)
     res = spec.residual_fn(m, d, params.residual_params)
     d = fwd.integrate(m, d)
-    return d, res
+    return (d.time, d.qpos, d.qvel, d.act), res
 
   # partially unroll the horizon scan on small smooth models: the per-step
   # cost there is loop/dispatch overhead, not FLOPs (measured: cartpole
@@ -50,7 +56,8 @@ def rollout_actions(spec: TaskSpec, d0: Data, actions: jax.Array,
   import os
   env = os.environ.get('MJPC_TPU_UNROLL')
   unroll = int(env) if env else (4 if m.nv <= 8 else 1)
-  _, residuals = jax.lax.scan(body, d0, actions, unroll=unroll)
+  init = (d0.time, d0.qpos, d0.qvel, d0.act)
+  _, residuals = jax.lax.scan(body, init, actions, unroll=unroll)
   costs = spec.cost(residuals, params)
   return residuals, costs
 
@@ -93,18 +100,20 @@ def noisy_rollout_return(spec: TaskSpec, d0: Data, actions: jax.Array,
   keys = jax.random.split(key, t)
 
   def body(carry, inp):
-    d, xfrc = carry
+    t, qpos, qvel, act, xfrc = carry
     action, k = inp
     # OU update on the perturbation wrench of every body
     eps = jax.random.normal(k, xfrc.shape, dtype=xfrc.dtype)
     xfrc = xfrc * (1.0 - xfrc_rate) + eps * xfrc_std
-    d = d.replace(ctrl=action, xfrc_applied=xfrc)
+    d = d0.replace(time=t, qpos=qpos, qvel=qvel, act=act, ctrl=action,
+                   xfrc_applied=xfrc)
     d = fwd.forward(m, d)
     res = spec.residual_fn(m, d, params.residual_params)
     d = fwd.integrate(m, d)
-    return (d, xfrc), res
+    return (d.time, d.qpos, d.qvel, d.act, xfrc), res
 
   xfrc0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype)
-  _, residuals = jax.lax.scan(body, (d0, xfrc0), (actions, keys))
+  init = (d0.time, d0.qpos, d0.qvel, d0.act, xfrc0)
+  _, residuals = jax.lax.scan(body, init, (actions, keys))
   costs = spec.cost(residuals, params)
   return total_return(costs)
