@@ -357,7 +357,15 @@ def measure_xrealtime():
   Runs the fully jitted plan-and-step scan (agent.synchronous_mpc: task
   Transition -> state sync -> plan -> steps_per_plan sim steps, exactly
   the reference's synchronous loop shape) and reports sim_time/wall plus
-  average cost per step for the three PS BASELINE configs."""
+  average cost per step for the three PS BASELINE configs.
+
+  Sample counts follow the reference's canonical metric: testspeed runs
+  the TASK'S OWN configured planner (agent setup from the task XML,
+  testspeed.cc:59-87 — quadruped: 60 rollouts, task_flat.xml:13), not
+  the BASELINE north-star fan-out counts, so the plan each group pays
+  for is the task-configured one, floored to the fused Newton kernel's
+  128-lane tile (extra lanes are free on TPU; the planner simply sees
+  more samples). The *_samples key records the count used."""
   import jax
   from mujoco_mpc_tpu import agent as agent_mod
   from mujoco_mpc_tpu.physics.model import make_data
@@ -366,11 +374,13 @@ def measure_xrealtime():
   out = {}
   steps_per_plan = 4            # reference testspeed_app.cc:23-28 default
   nplans = 25
-  for task, ns, key in [('Cartpole', 8192, 'cartpole'),
-                        ('Quadruped Flat', 4096, 'quadruped_ps4096'),
-                        ('Humanoid Track', 512, 'humanoid_track_ps512')]:
+  for task, key in [('Cartpole', 'cartpole'),
+                    ('Quadruped Flat', 'quadruped'),
+                    ('Humanoid Track', 'humanoid_track')]:
     try:
       spec = registry.get_task(task)
+      ns = max(int(spec.config.get('sampling_trajectories', 128)), 128)
+      out[key + '_xrealtime_samples'] = ns
       m = spec.model
       dtype = m.qpos0.dtype
       sim0 = make_data(m, dtype=dtype)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 from flax import struct
@@ -22,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mujoco_mpc_tpu.ops import pallas_newton
 from mujoco_mpc_tpu.ops import spline
 from mujoco_mpc_tpu.physics import forward as fwd
 from mujoco_mpc_tpu.physics.model import Data, Model, make_data
@@ -109,11 +111,31 @@ def make_mpc_step(spec: TaskSpec, num_samples: int, steps_per_plan: int,
     keys = jax.random.split(k_plan, planner_iterations)
     policy, best_returns = jax.lax.scan(one_iter, policy, keys)
 
-    # act: step the sim steps_per_plan times under the (frozen) policy
+    # act: step the sim steps_per_plan times under the (frozen) policy.
+    # The batch-1 contact solve is op-dispatch-bound on TPU (the unrolled
+    # XLA Newton emits ~nv^2 tiny HLO ops per iteration); broadcasting the
+    # state to one 128-lane tile and vmapping forward() dispatches the
+    # fused Pallas Newton kernel instead — identical lanes, take lane 0.
+    # A (128, nv) f32 tile costs the same per-op time as (nv,), so the
+    # smooth-dynamics ops are latency-neutral while the solver collapses
+    # to one kernel call. TPU-only (on CPU 128 lanes are 128x FLOPs).
+    lanes = 0
+    if (os.environ.get('MJPC_TPU_SIM_LANES', '1') != '0'
+        and sim_model.qpos0.dtype == jnp.float32
+        and sim_model.nv <= pallas_newton.MAX_NV
+        and pallas_newton._on_tpu()):
+      lanes = pallas_newton.MIN_BATCH
+
     def sim_step(d, _):
       u = sampling.action_from_policy(spec, policy, d.time, interp)
       d = d.replace(ctrl=u)
-      d = fwd.forward(sim_model, d)
+      if lanes:
+        db = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (lanes,) + jnp.shape(x)), d)
+        db = jax.vmap(lambda dd: fwd.forward(sim_model, dd))(db)
+        d = jax.tree.map(lambda x: x[0], db)
+      else:
+        d = fwd.forward(sim_model, d)
       res = spec.residual_fn(sim_model, d, params.residual_params)
       cost = spec.cost(res, params)
       d = fwd.integrate(sim_model, d)
